@@ -1,0 +1,212 @@
+"""Configuration dataclasses for LSHM-TPU.
+
+The reference configures everything by editing module-level constants at the top of each
+training script (reference: src/kharmonic_lofar.py:25-57) and by commenting parameter groups
+in and out (src/kharmonic_lofar.py:86-92).  Here the entire experiment — data, models,
+losses, optimizer choice, the alternating-update schedule and the alpha/beta/gamma ramp —
+is data, serializable and CLI-overridable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Input-pipeline configuration (reference: src/lofar_tools.py:51-211).
+
+    ``num_channels``: 4 = (re,im) of XX and YY; 8 = (re,im) of XX,XY,YX,YY.
+    ``patch_size``: square patch edge; patches overlap 50% (stride = patch_size // 2).
+    ``clamp``: clip magnitude applied after patching (reference uses 1e3 in training,
+    1e6 in the per-baseline eval reader).
+    """
+
+    data_dir: str = ""
+    file_pattern: str = "L*.MS_extract.h5"
+    recursive_search: bool = True
+    batch_size: int = 12              # baselines per minibatch
+    patch_size: int = 128
+    num_channels: int = 4
+    normalize: bool = True            # global z-score over the minibatch
+    clamp: float = 1e3
+    uvdist: bool = True               # compute per-baseline (u,v) in wavelengths
+    augment: bool = False             # double data with an augmentation transform
+    prefetch: int = 2                 # host->device prefetch depth
+
+    def __post_init__(self):
+        assert self.num_channels in (4, 8), "num_channels must be 4 or 8"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model topology (reference: src/lofar_models.py:12-184, src/kharmonic_lofar.py:37-57)."""
+
+    latent_dim: int = 224             # L: 2D AE latent
+    latent_dim_1d: int = 16           # Lt: 1D AE latents (time & freq axes)
+    num_clusters: int = 10            # Kc
+    khm_order: int = 4                # Khp: p in 1/||.||^p
+    harmonic_scales: tuple[float, ...] = (1e-4, 1e-3, 1e-2, 1e-1)
+    rica: bool = True                 # reconstruction-ICA sparse latent heads
+    # legacy pipeline (reference Demo.ipynb): second 2D AE on the FFT of the residual
+    # instead of the two 1D AEs.
+    fourier_variant: bool = False
+    latent_dim_fourier: int = 64      # latent of the legacy Fourier-space 2D AE
+
+    @property
+    def total_latent_dim(self) -> int:
+        if self.fourier_variant:
+            return self.latent_dim + self.latent_dim_fourier
+        return self.latent_dim + 2 * self.latent_dim_1d
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (reference: src/kharmonic_lofar.py:41-48)."""
+
+    alpha: float = 0.01               # K-harmonic clustering loss weight
+    beta: float = 0.01                # cluster-similarity (contrastive) penalty
+    gamma: float = 0.01               # augmentation (intra-baseline) penalty
+    rho: float = 1.0                  # ADMM penalty parameter
+    rica_lambda: float = 0.01         # log-cosh L1 weight on sparse latents
+
+
+@dataclass(frozen=True)
+class LBFGSConfig:
+    """Jittable L-BFGS hyperparameters (reference: src/lbfgsnew.py:61-69)."""
+
+    lr: float = 1.0
+    max_iter: int = 4
+    history_size: int = 7
+    tolerance_grad: float = 1e-5
+    tolerance_change: float = 1e-9
+    line_search: bool = True
+    batch_mode: bool = True           # stochastic variant with variance-damped max step
+    # backtracking line-search constants (reference: src/lbfgsnew.py:127-131)
+    ls_c1: float = 1e-4
+    ls_max_steps: int = 35
+    # cubic (strong-Wolfe) line-search constants (reference: src/lbfgsnew.py:203-209)
+    cubic_sigma: float = 0.1
+    cubic_rho: float = 0.01
+    cubic_t1: float = 9.0
+    cubic_t2: float = 0.1
+    cubic_t3: float = 0.5
+    cubic_step: float = 1e-6          # finite-difference step
+    trust_region_lm0: float = 1e-6    # batch-mode damping y += lm0*s
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer selection + alternating-update schedule.
+
+    The reference alternates which of the three model groups (2D CNN / 1D CNNs / KHM head)
+    is trained by hand-editing the parameter list (src/kharmonic_lofar.py:86-90) and by
+    switching Adam <-> LBFGS by editing line :92-93.  Here both are config.
+
+    ``group_schedule``: sequence of group names cycled per epoch; each entry is one of
+    "ae2d", "ae1d", "khm", "all".  Empty = train everything jointly.
+    """
+
+    optimizer: str = "adam"           # "adam" | "lbfgs"
+    adam_lr: float = 1e-4
+    lbfgs: LBFGSConfig = field(default_factory=LBFGSConfig)
+    group_schedule: tuple[str, ...] = ()
+
+    def __post_init__(self):
+        assert self.optimizer in ("adam", "lbfgs")
+        for g in self.group_schedule:
+            assert g in ("ae2d", "ae1d", "khm", "all"), g
+
+
+@dataclass(frozen=True)
+class RampStage:
+    """One stage of the published training recipe (reference README.md:24-30):
+    alpha=beta=gamma ramp 0.001 -> 0.01 -> 0.1 with an Adam -> LBFGS switch."""
+
+    epochs: int = 1
+    alpha: float = 0.001
+    beta: float = 0.001
+    gamma: float = 0.001
+    optimizer: str = "adam"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    num_epochs: int = 5               # reference: src/kharmonic_lofar.py:26
+    iters_per_epoch: int = 80         # Niter
+    admm_iters: int = 10              # Nadmm
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    save_every: int = 0               # 0 = only at end
+    log_every: int = 1
+    ramp: tuple[RampStage, ...] = ()  # optional published recipe; overrides LossConfig weights
+    # parallelism
+    mesh_shape: tuple[int, ...] = (1,)
+    mesh_axes: tuple[str, ...] = ("data",)
+    precision: str = "float32"        # compute dtype for conv/matmul inputs
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``section.key=value`` overrides, e.g. ``data.batch_size=4``."""
+    out = cfg
+    for ov in overrides:
+        path, _, raw = ov.partition("=")
+        keys = path.strip().split(".")
+        node = out
+        parents = []
+        for k in keys[:-1]:
+            parents.append((node, k))
+            node = getattr(node, k)
+        cur = getattr(node, keys[-1])
+        if isinstance(cur, bool):
+            val: Any = raw.strip().lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        elif isinstance(cur, tuple):
+            val = tuple(type(cur[0])(v) for v in raw.split(",")) if raw else ()
+        else:
+            val = raw
+        node = dataclasses.replace(node, **{keys[-1]: val})
+        for parent, k in reversed(parents):
+            node = dataclasses.replace(parent, **{k: node})
+        out = node
+    return out
+
+
+# Named presets mirroring BASELINE.json "configs".
+def preset(name: str) -> Config:
+    base = Config()
+    if name == "ae2d_adam":          # config #1: 2D AE alone, Adam, recon loss only
+        return base.replace(
+            loss=LossConfig(alpha=0.0, beta=0.0, gamma=0.0, rica_lambda=0.0),
+            model=dataclasses.replace(base.model, rica=False),
+            optim=OptimConfig(optimizer="adam", group_schedule=("ae2d",)),
+        )
+    if name == "fourier_cascade":    # config #2: legacy FFT pipeline
+        return base.replace(model=dataclasses.replace(base.model, fourier_variant=True))
+    if name == "full_khm":           # config #3: full cascaded duo + KHM + ADMM
+        return base
+    if name == "full_khm_lbfgs":     # config #4: same but LBFGS w/ alternating groups
+        return base.replace(
+            optim=OptimConfig(optimizer="lbfgs", group_schedule=("ae2d", "ae1d", "khm"))
+        )
+    raise ValueError(f"unknown preset: {name}")

@@ -1,0 +1,25 @@
+from lshm_tpu.data.h5io import (
+    scan_files,
+    read_metadata,
+    read_baseline_channels,
+    read_baseline_flat,
+    read_baseline_patches,
+    compute_uv,
+)
+from lshm_tpu.data.patches import patchify, patch_grid_shape
+from lshm_tpu.data.sampler import MinibatchSampler, Minibatch
+from lshm_tpu.data.synthetic import write_synthetic_h5
+
+__all__ = [
+    "scan_files",
+    "read_metadata",
+    "read_baseline_channels",
+    "read_baseline_flat",
+    "read_baseline_patches",
+    "compute_uv",
+    "patchify",
+    "patch_grid_shape",
+    "MinibatchSampler",
+    "Minibatch",
+    "write_synthetic_h5",
+]

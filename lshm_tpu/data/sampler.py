@@ -1,0 +1,155 @@
+"""Training minibatch sampler (host side) with device prefetch.
+
+Equivalent of the reference's ``get_data_minibatch`` (reference: src/lofar_tools.py:51-211):
+randomly pick one (file, SAP), randomly pick ``batch_size`` baselines, decode int8 x scale
+into real channels, patchify (baseline-major — see lshm_tpu/data/patches.py), clamp, global
+z-normalize, optionally double the batch with an augmentation transform interleaved per
+baseline.  A background thread keeps a bounded queue of device-resident minibatches so the
+TPU never waits on h5py.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+
+from lshm_tpu.config import DataConfig
+from lshm_tpu.data.h5io import compute_uv, read_baseline_channels, read_metadata
+from lshm_tpu.data.patches import patchify
+
+
+@dataclass
+class Minibatch:
+    """One training minibatch.
+
+    x:  [batch_size * patchx * patchy (*2 if augmented), ps, ps, C] float32, baseline-major
+    uv: matching [N, 2] float32 (u, v) in wavelengths, constant within a baseline group
+    patchx, patchy: patch grid dims; patches_per_baseline = patchx * patchy (*2 if augmented)
+    """
+
+    x: np.ndarray
+    uv: np.ndarray
+    patchx: int
+    patchy: int
+    num_baselines: int
+
+    @property
+    def patches_per_baseline(self) -> int:
+        return self.x.shape[0] // self.num_baselines
+
+
+def default_augment(rng: np.random.Generator, patches: np.ndarray) -> np.ndarray:
+    """Default augmentation: random time/freq flips (the reference leaves the torchvision
+    transform unspecified / None in the shipped path; reference: src/lofar_tools.py:196-203)."""
+    out = patches
+    if rng.random() < 0.5:
+        out = out[:, ::-1, :, :]
+    if rng.random() < 0.5:
+        out = out[:, :, ::-1, :]
+    return np.ascontiguousarray(out)
+
+
+class MinibatchSampler:
+    """Random (file, SAP, baselines) sampler producing ``Minibatch`` objects."""
+
+    def __init__(
+        self,
+        file_list: list[str],
+        sap_list: list[str],
+        cfg: DataConfig,
+        seed: int = 0,
+        augment_fn: Callable[[np.random.Generator, np.ndarray], np.ndarray] | None = None,
+    ):
+        assert len(file_list) == len(sap_list) and len(file_list) > 0
+        self.file_list = file_list
+        self.sap_list = sap_list
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.augment_fn = augment_fn or default_augment
+        # cache metadata so baseline sampling doesn't reopen files
+        self._meta = [read_metadata(f, s) for f, s in zip(file_list, sap_list)]
+
+    def sample(self) -> Minibatch:
+        cfg = self.cfg
+        idx = int(self.rng.integers(0, len(self.file_list)))
+        filename, sap = self.file_list[idx], self.sap_list[idx]
+        nbase = self._meta[idx][0]
+        baseline_ids = self.rng.integers(0, nbase, cfg.batch_size)
+
+        x = read_baseline_channels(
+            filename, sap, baseline_ids, cfg.num_channels, cfg.patch_size
+        )
+        patches, (px, py) = patchify(x, cfg.patch_size)
+        patches = np.clip(patches, -cfg.clamp, cfg.clamp)
+        if cfg.normalize:
+            std = patches.std()
+            patches = (patches - patches.mean()) / (std if std > 0 else 1.0)
+
+        if cfg.uvdist:
+            uv = compute_uv(filename, sap, baseline_ids)        # [B, 2]
+        else:
+            uv = np.zeros((cfg.batch_size, 2), dtype=np.float32)
+        ppb = px * py
+        uv_full = np.repeat(uv, ppb, axis=0)                    # baseline-major
+
+        if cfg.augment:
+            # interleave original and transformed patches per baseline
+            grouped = patches.reshape(cfg.batch_size, ppb, *patches.shape[1:])
+            pieces = []
+            for b in range(cfg.batch_size):
+                pieces.append(grouped[b])
+                pieces.append(self.augment_fn(self.rng, grouped[b]))
+            patches = np.concatenate(pieces, axis=0)
+            uv_full = np.repeat(uv, 2 * ppb, axis=0)
+
+        return Minibatch(
+            x=patches.astype(np.float32),
+            uv=uv_full.astype(np.float32),
+            patchx=px,
+            patchy=py,
+            num_baselines=cfg.batch_size,
+        )
+
+    def __iter__(self) -> Iterator[Minibatch]:
+        while True:
+            yield self.sample()
+
+
+def prefetch_to_device(
+    sampler: MinibatchSampler,
+    size: int = 2,
+    device_put: Callable | None = None,
+) -> Iterator[Minibatch]:
+    """Background-thread prefetcher: samples on host, optionally device_puts, and keeps a
+    bounded queue so device steps overlap with h5py reads."""
+    import jax
+
+    put = device_put or jax.device_put
+    q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def producer():
+        for mb in sampler:
+            if stop.is_set():
+                return
+            q.put(
+                Minibatch(
+                    x=put(mb.x),
+                    uv=put(mb.uv),
+                    patchx=mb.patchx,
+                    patchy=mb.patchy,
+                    num_baselines=mb.num_baselines,
+                )
+            )
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()

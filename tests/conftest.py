@@ -1,0 +1,34 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip sharding tests run
+hermetically (no TPU needed), and provide a session-scoped synthetic H5 fixture."""
+
+import os
+
+# Must be set before jax import. Force CPU (the session env may point at a TPU);
+# set LSHM_TEST_TPU=1 to run the suite on real hardware instead.
+if not os.environ.get("LSHM_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def synth_h5(tmp_path_factory):
+    """A small schema-valid synthetic MS_extract.h5 (passes the scanner validity gate)."""
+    from lshm_tpu.data.synthetic import write_synthetic_h5
+
+    path = tmp_path_factory.mktemp("h5data") / "L123456.MS_extract.h5"
+    return write_synthetic_h5(str(path), nstations=4, ntime=192, nfreq=192, seed=7)
+
+
+@pytest.fixture(scope="session")
+def synth_h5_dir(synth_h5):
+    return os.path.dirname(synth_h5)
