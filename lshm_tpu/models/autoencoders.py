@@ -1,0 +1,163 @@
+"""Convolutional autoencoders with uv-harmonic positional features (Flax).
+
+TPU-native re-design of the reference autoencoders (reference: src/lofar_models.py:12-184):
+
+- NHWC / NWC layouts (XLA's native TPU conv layouts) instead of NCHW/NCW.
+- Same topology: 6 stride-2 (2D) or stride-4 (1D) conv stages with channel ladder
+  in->8->12->24->48->96->192, ELU activations, a 768-dim bottleneck flatten, a
+  kron-harmonic (sin, cos) uv embedding mixed in through small dense layers, and a
+  mirrored transposed-conv decoder.
+- Optional RICA (reconstruction ICA) heads: two extra dense layers between encode and
+  decode whose intermediate activation is the *sparse* latent returned for clustering
+  (reference: src/lofar_models.py:47-49,64-69).
+- Fixes a reference defect: the 1D AE's non-RICA path called decode() without the uv
+  argument and would crash (reference: src/lofar_models.py:150); here decode always
+  takes uv.
+
+All modules are shape-polymorphic in the batch dimension only; spatial dims are static
+so XLA tiles every conv onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# channel ladder of the 6 conv stages (reference: src/lofar_models.py:31-41)
+CHANNEL_LADDER = (8, 12, 24, 48, 96, 192)
+BOTTLENECK = 192 * 2 * 2  # 768
+
+
+def uv_harmonic_features(uv: jnp.ndarray, scales: Sequence[float]) -> jnp.ndarray:
+    """Kron-harmonic embedding of (u, v): [N, 2] -> [N, 4 * len(scales)].
+
+    k[:, 2h:2h+2] = scales[h] * uv; output = concat(sin(k), cos(k))
+    (reference: src/lofar_models.py:60-62).
+    """
+    s = jnp.asarray(scales, dtype=uv.dtype)            # [H]
+    k = (s[None, :, None] * uv[:, None, :]).reshape(uv.shape[0], -1)  # [N, 2H]
+    return jnp.concatenate([jnp.sin(k), jnp.cos(k)], axis=-1)          # [N, 4H]
+
+
+class AutoEncoder2D(nn.Module):
+    """2D conv AE on [N, P, P, C] patches (P = 64 * 2 = 128 nominal; any P that is a
+    multiple of 64 works since 6 stride-2 stages reduce P -> P/64 = 2)."""
+
+    latent_dim: int = 224
+    channels: int = 4
+    harmonic_scales: Sequence[float] = (1e-4, 1e-3, 1e-2, 1e-1)
+    rica: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def harmonic_dim(self) -> int:
+        return len(self.harmonic_scales) * 4
+
+    def setup(self):
+        conv = lambda f, name: nn.Conv(
+            f, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), name=name,
+            dtype=self.dtype,
+        )
+        # lax.conv_transpose pads the *dilated* input: pad = k - 1 - p_equivalent,
+        # so (2, 2) here gives out = 2 * in (torch ConvTranspose2d(4, s=2, p=1) geometry)
+        tconv = lambda f, name: nn.ConvTranspose(
+            f, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)), name=name,
+            dtype=self.dtype,
+        )
+        self.enc = [conv(f, f"conv{i}") for i, f in enumerate(CHANNEL_LADDER)]
+        dec_ladder = CHANNEL_LADDER[-2::-1] + (self.channels,)
+        self.dec = [tconv(f, f"tconv{i}") for i, f in enumerate(dec_ladder)]
+        self.fcuv1 = nn.Dense(self.harmonic_dim, dtype=self.dtype)
+        self.fcuv3 = nn.Dense(self.harmonic_dim, dtype=self.dtype)
+        self.fc1 = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc3 = nn.Dense(BOTTLENECK, dtype=self.dtype)
+        if self.rica:
+            self.fc2in = nn.Dense(self.latent_dim, dtype=self.dtype)
+            self.fc2out = nn.Dense(self.latent_dim, dtype=self.dtype)
+
+    def encode(self, x: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
+        for c in self.enc:
+            x = nn.elu(c(x))
+        x = x.reshape(x.shape[0], -1)                       # [N, 768] (h, w, c order)
+        u = nn.elu(self.fcuv1(uvf))
+        return nn.elu(self.fc1(jnp.concatenate([x, u], axis=-1)))
+
+    def decode(self, z: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
+        u = nn.elu(self.fcuv3(uvf))
+        x = self.fc3(jnp.concatenate([z, u], axis=-1))      # no activation (ref :91)
+        x = x.reshape(x.shape[0], 2, 2, CHANNEL_LADDER[-1])
+        for t in self.dec[:-1]:
+            x = nn.elu(t(x))
+        return self.dec[-1](x)                              # linear output stage
+
+    def __call__(self, x: jnp.ndarray, uv: jnp.ndarray):
+        """Returns (reconstruction, latent).  With RICA the returned latent is the sparse
+        intermediate (elu(fc2in(mu))), and decode sees elu(fc2out(sparse))."""
+        uvf = uv_harmonic_features(uv, self.harmonic_scales)
+        mu = self.encode(x, uvf)
+        if not self.rica:
+            return self.decode(mu, uvf), mu
+        mu = nn.elu(self.fc2in(mu))
+        muprime = nn.elu(self.fc2out(mu))
+        return self.decode(muprime, uvf), mu
+
+
+class AutoEncoder1D(nn.Module):
+    """1D conv AE on the vectorized patch [N, P*P, C]; 6 stride-4 stages reduce
+    16384 -> 4 (reference: src/lofar_models.py:103-184)."""
+
+    latent_dim: int = 16
+    channels: int = 4
+    harmonic_scales: Sequence[float] = (1e-4, 1e-3, 1e-2, 1e-1)
+    rica: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def harmonic_dim(self) -> int:
+        return len(self.harmonic_scales) * 4
+
+    def setup(self):
+        conv = lambda f, name: nn.Conv(
+            f, (4,), strides=(4,), padding=((1, 1),), name=name, dtype=self.dtype
+        )
+        # decoder: out = 4 * in (torch ConvTranspose1d(4, s=4, p=0) geometry); dilated-input
+        # padding = k - 1 - 0 = 3 per side
+        tconv = lambda f, name: nn.ConvTranspose(
+            f, (4,), strides=(4,), padding=((3, 3),), name=name, dtype=self.dtype
+        )
+        self.enc = [conv(f, f"conv{i}") for i, f in enumerate(CHANNEL_LADDER)]
+        dec_ladder = CHANNEL_LADDER[-2::-1] + (self.channels,)
+        self.dec = [tconv(f, f"tconv{i}") for i, f in enumerate(dec_ladder)]
+        self.fcuv1 = nn.Dense(self.harmonic_dim, dtype=self.dtype)
+        self.fcuv3 = nn.Dense(self.harmonic_dim, dtype=self.dtype)
+        self.fc1 = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc3 = nn.Dense(BOTTLENECK, dtype=self.dtype)
+        if self.rica:
+            self.fc2in = nn.Dense(self.latent_dim, dtype=self.dtype)
+            self.fc2out = nn.Dense(self.latent_dim, dtype=self.dtype)
+
+    def encode(self, x: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
+        for c in self.enc:
+            x = nn.elu(c(x))
+        x = x.reshape(x.shape[0], -1)                       # [N, 768]
+        u = nn.elu(self.fcuv1(uvf))
+        return nn.elu(self.fc1(jnp.concatenate([x, u], axis=-1)))
+
+    def decode(self, z: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
+        u = nn.elu(self.fcuv3(uvf))
+        x = self.fc3(jnp.concatenate([z, u], axis=-1))
+        x = x.reshape(x.shape[0], 4, CHANNEL_LADDER[-1])    # 2^2 = 4 positions
+        for t in self.dec[:-1]:
+            x = nn.elu(t(x))
+        return self.dec[-1](x)
+
+    def __call__(self, x: jnp.ndarray, uv: jnp.ndarray):
+        uvf = uv_harmonic_features(uv, self.harmonic_scales)
+        mu = self.encode(x, uvf)
+        if not self.rica:
+            return self.decode(mu, uvf), mu
+        mu = nn.elu(self.fc2in(mu))
+        muprime = nn.elu(self.fc2out(mu))
+        return self.decode(muprime, uvf), mu

@@ -1,0 +1,157 @@
+"""The cascaded autoencoder trio + clustering head as one Flax module.
+
+Current pipeline (reference: src/kharmonic_lofar.py:132-159):
+    x1, mu = AE2D(x, uv)
+    x11    = (x - x1) / 2                       # halved residual
+    x2     = AE1D_T(vec(x11), uv)               # time-major vectorization
+    x3     = AE1D_F(vec(x11^T), uv)^T           # freq-major vectorization
+    xrecon = x1 + x2 + x3
+    Mu     = concat(mu, muT, muF)               # clustering feature
+
+Legacy Fourier pipeline (reference: Demo.ipynb cells 6 & 10, src/EvaluateClusters.ipynb):
+    x1, mu = AE2D(x, uv)
+    xf     = fftshift(fft2((x - x1)/2, norm="ortho"))
+    yf     = concat(Re xf, Im xf)  as 2C channels
+    yhat, ymu = AE2D_F(yf, uv)                  # second 2D AE in Fourier space
+    Mu     = concat(mu, ymu)
+
+Both variants share the KHM head and the ADMM/augmented objective; which one runs is
+config (`ModelConfig.fourier_variant`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from lshm_tpu.config import ModelConfig
+from lshm_tpu.models.autoencoders import AutoEncoder1D, AutoEncoder2D
+from lshm_tpu.models.khm import KHarmonicMeans
+
+
+@struct.dataclass
+class CascadeOutputs:
+    """Everything the objective and the ADMM dual update need from one forward pass."""
+
+    x1: jnp.ndarray            # 2D AE reconstruction          [N, P, P, C]
+    x11: jnp.ndarray           # halved residual (x - x1) / 2  [N, P, P, C]
+    x2: jnp.ndarray            # time-axis 1D AE recon         [N, P, P, C]
+    x3: jnp.ndarray            # freq-axis 1D AE recon         [N, P, P, C]
+    xrecon: jnp.ndarray        # x1 + x2 + x3                  [N, P, P, C]
+    Mu: jnp.ndarray            # concat latent                 [N, L + 2*Lt]
+    mu: jnp.ndarray            # 2D latent                     [N, L]
+    muT: jnp.ndarray           # time-axis 1D latent           [N, Lt]
+    muF: jnp.ndarray           # freq-axis 1D latent           [N, Lt]
+    # legacy Fourier variant extras (zeros-shaped placeholders otherwise)
+    yf_in: jnp.ndarray | None = None   # Fourier-space AE input  [N, P, P, 2C]
+    yf_out: jnp.ndarray | None = None  # Fourier-space AE recon  [N, P, P, 2C]
+
+
+def fft2_shifted(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal 2D FFT over the spatial dims of NHWC + fftshift, returned as
+    real/imag channel pairs [N, P, P, 2C] (reference: src/lofar_tools.py:24-30 and the
+    notebooks' torch.fft.fftn(dim=(2,3), norm='ortho'))."""
+    xf = jnp.fft.fft2(x, axes=(1, 2), norm="ortho")
+    xf = jnp.fft.fftshift(xf, axes=(1, 2))
+    return jnp.concatenate([xf.real, xf.imag], axis=-1)
+
+
+class CascadedAE(nn.Module):
+    """Flagship model: AE2D + (AE1D_T, AE1D_F | AE2D_Fourier) + KHM head."""
+
+    cfg: ModelConfig = field(default_factory=ModelConfig)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.ae2d = AutoEncoder2D(
+            latent_dim=c.latent_dim,
+            channels=4 if c.fourier_variant else 4,
+            harmonic_scales=c.harmonic_scales,
+            rica=c.rica,
+            dtype=self.dtype,
+            name="ae2d",
+        )
+        if c.fourier_variant:
+            self.aef = AutoEncoder2D(
+                latent_dim=c.latent_dim_fourier,
+                channels=8,                       # 2C for C=4: real+imag stacked
+                harmonic_scales=c.harmonic_scales,
+                rica=c.rica,
+                dtype=self.dtype,
+                name="aef",
+            )
+        else:
+            self.aeT = AutoEncoder1D(
+                latent_dim=c.latent_dim_1d,
+                channels=4,
+                harmonic_scales=c.harmonic_scales,
+                rica=c.rica,
+                dtype=self.dtype,
+                name="aeT",
+            )
+            self.aeF = AutoEncoder1D(
+                latent_dim=c.latent_dim_1d,
+                channels=4,
+                harmonic_scales=c.harmonic_scales,
+                rica=c.rica,
+                dtype=self.dtype,
+                name="aeF",
+            )
+        self.khm = KHarmonicMeans(
+            latent_dim=c.total_latent_dim,
+            num_clusters=c.num_clusters,
+            order=c.khm_order,
+            name="khm",
+        )
+
+    def __call__(self, x: jnp.ndarray, uv: jnp.ndarray) -> CascadeOutputs:
+        n, h, w, ch = x.shape
+        _ = self.khm.M  # touch so init registers the centroids (losses read them directly)
+        x1, mu = self.ae2d(x, uv)
+        x11 = (x - x1) * 0.5
+
+        if self.cfg.fourier_variant:
+            yf_in = fft2_shifted(x11)
+            yf_out, ymu = self.aef(yf_in, uv)
+            zero = jnp.zeros_like(x)
+            return CascadeOutputs(
+                x1=x1, x11=x11, x2=zero, x3=zero, xrecon=x1,
+                Mu=jnp.concatenate([mu, ymu], axis=-1),
+                mu=mu, muT=ymu, muF=ymu[:, :0],
+                yf_in=yf_in, yf_out=yf_out,
+            )
+
+        # time-major vectorization: NHWC -> [N, H*W, C]
+        iy1 = x11.reshape(n, h * w, ch)
+        yyT, muT = self.aeT(iy1, uv)
+        x2 = yyT.reshape(n, h, w, ch)
+
+        # freq-major vectorization: transpose spatial dims first
+        iy2 = jnp.swapaxes(x11, 1, 2).reshape(n, w * h, ch)
+        yyF, muF = self.aeF(iy2, uv)
+        x3 = jnp.swapaxes(yyF.reshape(n, w, h, ch), 1, 2)
+
+        xrecon = x1 + x2 + x3
+        Mu = jnp.concatenate([mu, muT, muF], axis=-1)
+        return CascadeOutputs(
+            x1=x1, x11=x11, x2=x2, x3=x3, xrecon=xrecon,
+            Mu=Mu, mu=mu, muT=muT, muF=muF,
+        )
+
+    # --- exposed subcomputations for eval / KHM losses -------------------------------
+    def khm_loss(self, X: jnp.ndarray) -> jnp.ndarray:
+        return self.khm.clustering_error(X)
+
+    def khm_similarity(self) -> jnp.ndarray:
+        return self.khm.cluster_similarity()
+
+    def khm_distances(self, X: jnp.ndarray) -> jnp.ndarray:
+        return self.khm.distances(X)
+
+    def khm_assign(self, X: jnp.ndarray) -> jnp.ndarray:
+        return self.khm.assign(X)

@@ -2,20 +2,24 @@
 hermetically (no TPU needed), and provide a session-scoped synthetic H5 fixture."""
 
 import os
+import sys
 
-# Must be set before jax import. Force CPU (the session env may point at a TPU);
-# set LSHM_TEST_TPU=1 to run the suite on real hardware instead.
-if not os.environ.get("LSHM_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The session sitecustomize imports jax at interpreter start with JAX_PLATFORMS=axon, so
+# env-var tweaks here are too late — but jax.config.update works any time before first
+# backend use, and XLA_FLAGS is read lazily at CPU-client creation.
+# Set LSHM_TEST_TPU=1 to run the suite on real hardware instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import sys
+import jax
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not os.environ.get("LSHM_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

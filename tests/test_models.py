@@ -1,0 +1,167 @@
+"""Model tests: shapes, parameter counts, uv embedding math, RICA semantics, cascade."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lshm_tpu.config import ModelConfig
+from lshm_tpu.models import (
+    AutoEncoder1D,
+    AutoEncoder2D,
+    CascadedAE,
+    KHarmonicMeans,
+    uv_harmonic_features,
+)
+
+SCALES = (1e-4, 1e-3, 1e-2, 1e-1)
+
+
+def _nparams(params):
+    return sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+
+
+def test_uv_harmonic_features_math():
+    uv = np.array([[2.0, 3.0], [-1.0, 0.5]], dtype=np.float32)
+    got = np.asarray(uv_harmonic_features(jnp.asarray(uv), SCALES))
+    assert got.shape == (2, 16)
+    # k = [s1*u, s1*v, s2*u, s2*v, ...]; output = [sin(k), cos(k)]
+    k = np.concatenate([s * uv for s in SCALES], axis=1)
+    want = np.concatenate([np.sin(k), np.cos(k)], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_ae2d_shapes_and_param_count():
+    m = AutoEncoder2D(latent_dim=224, channels=4, harmonic_scales=SCALES, rica=True)
+    x = jnp.zeros((2, 128, 128, 4))
+    uv = jnp.zeros((2, 2))
+    params = m.init(jax.random.PRNGKey(0), x, uv)
+    recon, mu = m.apply(params, x, uv)
+    assert recon.shape == (2, 128, 128, 4)
+    assert mu.shape == (2, 224)
+    # ~1.25M params at L=224 with rica (SURVEY.md §2 model-size row)
+    n = _nparams(params)
+    assert 1.2e6 < n < 1.3e6, n
+
+
+def test_ae2d_no_rica():
+    m = AutoEncoder2D(latent_dim=32, channels=4, harmonic_scales=SCALES, rica=False)
+    x = jnp.zeros((1, 128, 128, 4))
+    uv = jnp.zeros((1, 2))
+    params = m.init(jax.random.PRNGKey(0), x, uv)
+    assert "fc2in" not in params["params"]
+    recon, mu = m.apply(params, x, uv)
+    assert recon.shape == x.shape and mu.shape == (1, 32)
+
+
+def test_ae1d_shapes_and_param_count():
+    m = AutoEncoder1D(latent_dim=16, channels=4, harmonic_scales=SCALES, rica=True)
+    x = jnp.zeros((2, 128 * 128, 4))
+    uv = jnp.zeros((2, 2))
+    params = m.init(jax.random.PRNGKey(0), x, uv)
+    recon, mu = m.apply(params, x, uv)
+    assert recon.shape == (2, 128 * 128, 4)
+    assert mu.shape == (2, 16)
+    n = _nparams(params)
+    # ~236k at Lt=16 (SURVEY.md §2)
+    assert 2.2e5 < n < 2.5e5, n
+
+
+def test_ae1d_no_rica_decode_works():
+    """Reference defect: 1D AE non-RICA forward crashes (missing uv in decode,
+    src/lofar_models.py:150). Ours must work."""
+    m = AutoEncoder1D(latent_dim=8, channels=4, harmonic_scales=SCALES, rica=False)
+    x = jnp.zeros((1, 128 * 128, 4))
+    uv = jnp.zeros((1, 2))
+    params = m.init(jax.random.PRNGKey(0), x, uv)
+    recon, mu = m.apply(params, x, uv)
+    assert recon.shape == x.shape
+
+
+def test_rica_latent_is_sparse_intermediate():
+    """With RICA, returned latent = elu(fc2in(encode(...))) and decode sees
+    elu(fc2out(latent)) — verify by monkey-patching zeros into fc2out."""
+    m = AutoEncoder2D(latent_dim=16, channels=4, harmonic_scales=SCALES, rica=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128, 4))
+    uv = jnp.ones((1, 2))
+    params = m.init(jax.random.PRNGKey(0), x, uv)
+    _, mu1 = m.apply(params, x, uv)
+    # zero fc2out -> decode input becomes elu(0)=0 but the returned latent is unchanged
+    p2 = jax.tree_util.tree_map(lambda a: a, params)
+    p2 = {"params": dict(p2["params"])}
+    p2["params"]["fc2out"] = jax.tree.map(jnp.zeros_like, params["params"]["fc2out"])
+    recon2, mu2 = m.apply(p2, x, uv)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-6)
+
+
+def test_khm_module():
+    m = KHarmonicMeans(latent_dim=8, num_clusters=4, order=4)
+    X = jax.random.normal(jax.random.PRNGKey(0), (10, 8))
+    params = m.init(jax.random.PRNGKey(1), X)
+    M = params["params"]["M"]
+    assert M.shape == (4, 8)
+    # init is uniform [0, 1) like the reference's torch.rand (src/lofar_models.py:197)
+    assert float(M.min()) >= 0.0 and float(M.max()) < 1.0
+    loss = m.apply(params, X)
+    assert np.isfinite(float(loss))
+    sim = m.apply(params, method=m.cluster_similarity)
+    assert np.isfinite(float(sim))
+    dist = m.apply(params, X, method=m.distances)
+    assert dist.shape == (4,)
+    lab = m.apply(params, X, method=m.assign)
+    assert lab.shape == (10,) and set(np.asarray(lab)) <= set(range(4))
+
+
+@pytest.mark.parametrize("fourier", [False, True])
+def test_cascade_outputs(fourier):
+    cfg = ModelConfig(
+        latent_dim=32, latent_dim_1d=8, num_clusters=4, rica=True,
+        fourier_variant=fourier, latent_dim_fourier=16,
+    )
+    m = CascadedAE(cfg=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 4))
+    uv = jnp.ones((2, 2))
+    params = m.init(jax.random.PRNGKey(1), x, uv)
+    out = m.apply(params, x, uv)
+    assert out.x1.shape == x.shape
+    np.testing.assert_allclose(
+        np.asarray(out.x11), np.asarray((x - out.x1) / 2), rtol=1e-5
+    )
+    assert out.Mu.shape == (2, cfg.total_latent_dim)
+    if fourier:
+        assert out.yf_in.shape == (2, 128, 128, 8)
+        assert out.yf_out.shape == (2, 128, 128, 8)
+    else:
+        assert out.x2.shape == x.shape and out.x3.shape == x.shape
+        np.testing.assert_allclose(
+            np.asarray(out.xrecon), np.asarray(out.x1 + out.x2 + out.x3), rtol=1e-5
+        )
+
+
+def test_cascade_freq_axis_transpose_roundtrip():
+    """x3 must be the freq-major AE's output transposed back: check orientation by
+    feeding an impulse and confirming shapes/transposes are consistent."""
+    cfg = ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=3, rica=True)
+    m = CascadedAE(cfg=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 4))
+    uv = jnp.ones((1, 2))
+    params = m.init(jax.random.PRNGKey(3), x, uv)
+    out = m.apply(params, x, uv)
+    # manual recompute of x3 from the freq-major path
+    x11 = np.asarray(out.x11)
+    iy2 = jnp.asarray(np.swapaxes(x11, 1, 2).reshape(1, 128 * 128, 4))
+    yyF, muF = m.apply(params, iy2, uv, method=lambda mdl, a, b: mdl.aeF(a, b))
+    x3 = np.swapaxes(np.asarray(yyF).reshape(1, 128, 128, 4), 1, 2)
+    np.testing.assert_allclose(np.asarray(out.x3), x3, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.muF), np.asarray(muF), rtol=1e-5)
+
+
+def test_fft2_shifted_matches_numpy():
+    from lshm_tpu.models.cascade import fft2_shifted
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+    got = np.asarray(fft2_shifted(jnp.asarray(x)))
+    xf = np.fft.fftshift(np.fft.fft2(x, axes=(1, 2), norm="ortho"), axes=(1, 2))
+    want = np.concatenate([xf.real, xf.imag], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,149 @@
+"""End-to-end train-step tests: the jitted ADMM step runs, losses are finite and decrease,
+group masking freezes the right parameters, and the sharded step matches single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lshm_tpu.config import Config, DataConfig, LossConfig, ModelConfig, OptimConfig, TrainConfig
+from lshm_tpu.models import CascadedAE
+from lshm_tpu.train import (
+    LossWeights,
+    group_mask,
+    init_train_state,
+    make_mesh,
+    make_train_step,
+)
+from lshm_tpu.train.parallel import replicate_state
+
+
+def tiny_config(**model_kw) -> Config:
+    return Config(
+        data=DataConfig(batch_size=2, patch_size=128),
+        model=ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=4, rica=True, **model_kw),
+        loss=LossConfig(),
+        optim=OptimConfig(optimizer="adam", adam_lr=1e-3),
+        train=TrainConfig(admm_iters=2),
+    )
+
+
+def make_batch(key, n=8):
+    x = jax.random.normal(key, (n, 128, 128, 4))
+    uv = jax.random.normal(jax.random.fold_in(key, 1), (n // 4, 2))
+    uv = jnp.repeat(uv, 4, axis=0)  # baseline-major groups of 4
+    return x, uv
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = CascadedAE(cfg=cfg.model)
+    x, uv = make_batch(jax.random.PRNGKey(0))
+    state, tx = init_train_state(model, cfg, jax.random.PRNGKey(1), x, uv)
+    return cfg, model, x, uv, state, tx
+
+
+def test_train_step_runs_and_improves(setup):
+    cfg, model, x, uv, state, tx = setup
+    step = make_train_step(model, tx, cfg, num_groups=2, donate=False)
+    w = LossWeights()
+    metrics_first = None
+    for i in range(6):
+        state, metrics = step(state, x, uv, w)
+        if metrics_first is None:
+            metrics_first = metrics
+    # metrics stacked over admm iters
+    assert metrics["loss"].shape == (cfg.train.admm_iters,)
+    for k, v in metrics.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    # total recon loss (loss0) must drop vs the very first evaluation
+    assert float(metrics["loss0"][-1]) < float(metrics_first["loss0"][0])
+    assert int(state.step) == 6
+
+
+def test_group_mask_structure(setup):
+    cfg, model, x, uv, state, tx = setup
+    m = group_mask(state.params, "ae2d")
+    flat = jax.tree_util.tree_flatten_with_path(m)[0]
+    for path, val in flat:
+        names = [getattr(p, "key", "") for p in path]
+        assert val == ("ae2d" in names)
+    m1d = group_mask(state.params, "ae1d")
+    flat = jax.tree_util.tree_flatten_with_path(m1d)[0]
+    for path, val in flat:
+        names = [getattr(p, "key", "") for p in path]
+        assert val == (("aeT" in names) or ("aeF" in names))
+
+
+def test_masked_step_freezes_other_groups(setup):
+    cfg, model, x, uv, _, _ = setup
+    state, tx = init_train_state(model, cfg, jax.random.PRNGKey(2), x, uv, group="khm")
+    step = make_train_step(model, tx, cfg, num_groups=2, donate=False)
+    new_state, _ = step(state, x, uv, LossWeights())
+    # khm centroids moved
+    dM = np.abs(
+        np.asarray(new_state.params["params"]["khm"]["M"] - state.params["params"]["khm"]["M"])
+    ).max()
+    assert dM > 0
+    # ae2d untouched
+    for name in ("ae2d", "aeT", "aeF"):
+        before = jax.tree.leaves(state.params["params"][name])
+        after = jax.tree.leaves(new_state.params["params"][name])
+        for a, b in zip(before, after):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fourier_variant_step():
+    cfg = tiny_config(fourier_variant=True, latent_dim_fourier=8)
+    model = CascadedAE(cfg=cfg.model)
+    x, uv = make_batch(jax.random.PRNGKey(3))
+    state, tx = init_train_state(model, cfg, jax.random.PRNGKey(4), x, uv)
+    step = make_train_step(model, tx, cfg, num_groups=2, donate=False)
+    state, metrics = step(state, x, uv, LossWeights())
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+
+
+def test_sharded_step_matches_single_device(setup):
+    from lshm_tpu.train.parallel import shard_batch, train_step_sharded
+
+    cfg, model, x, uv, state, tx = setup
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh((8,), ("data",))
+    raw = make_train_step(model, tx, cfg, num_groups=2, donate=False, jit=False)
+
+    single = make_train_step(model, tx, cfg, num_groups=2, donate=False)
+    s1, m1 = single(state, x, uv, LossWeights())
+
+    sharded = train_step_sharded(raw, mesh, donate=False)
+    xs, uvs = shard_batch(mesh, x, uv)
+    st = replicate_state(mesh, state)
+    s2, m2 = sharded(st, xs, uvs, replicate_state(mesh, LossWeights()))
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=2e-4
+    )
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_ramp_schedule():
+    from lshm_tpu.config import RampStage
+    from lshm_tpu.train.schedule import active_group, ramp_stage_for_epoch
+
+    ramp = (
+        RampStage(epochs=2, alpha=0.001, optimizer="adam"),
+        RampStage(epochs=2, alpha=0.01, optimizer="lbfgs"),
+        RampStage(epochs=1, alpha=0.1, optimizer="lbfgs"),
+    )
+    assert ramp_stage_for_epoch(ramp, 0).alpha == 0.001
+    assert ramp_stage_for_epoch(ramp, 1).alpha == 0.001
+    assert ramp_stage_for_epoch(ramp, 2).optimizer == "lbfgs"
+    assert ramp_stage_for_epoch(ramp, 4).alpha == 0.1
+    assert ramp_stage_for_epoch(ramp, 99).alpha == 0.1  # last stage extends
+    assert ramp_stage_for_epoch((), 0) is None
+
+    sched = ("ae2d", "ae1d", "khm")
+    assert [active_group(sched, e) for e in range(4)] == ["ae2d", "ae1d", "khm", "ae2d"]
+    assert active_group((), 5) == "all"
