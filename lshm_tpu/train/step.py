@@ -102,3 +102,111 @@ def make_train_step(
     if not jit:
         return train_step  # raw function, e.g. for train_step_sharded to jit with shardings
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+class LBFGSTrainState(struct.PyTreeNode):
+    """Train state for the L-BFGS path: parameters live as one flat vector."""
+
+    flat_params: jnp.ndarray
+    opt_state: Any                 # lshm_tpu.optim.LBFGSState
+    step: jnp.ndarray
+
+
+def init_lbfgs_train_state(
+    model, cfg: Config, rng: jax.Array, sample_x: jnp.ndarray, sample_uv: jnp.ndarray
+):
+    """Returns (state, unravel_fn).  ``unravel_fn`` is static and must be passed to
+    ``make_lbfgs_train_step``."""
+    from jax.flatten_util import ravel_pytree
+
+    from lshm_tpu.optim import lbfgs_init
+
+    params = model.init(rng, sample_x, sample_uv)
+    flat, unravel = ravel_pytree(params)
+    state = LBFGSTrainState(
+        flat_params=flat,
+        opt_state=lbfgs_init(flat.size, cfg.optim.lbfgs, flat.dtype),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, unravel
+
+
+def make_lbfgs_train_step(
+    model,
+    unravel,
+    cfg: Config,
+    num_groups: int,
+    group: str = "all",
+    donate: bool = True,
+    jit: bool = True,
+):
+    """L-BFGS minibatch step: each of the ``nadmm`` inner iterations runs one full
+    ``optimizer.step(closure)`` (up to max_iter L-BFGS iterations with line search, all
+    on-device) followed by the dual update — the structure of the reference's LBFGS
+    training mode (reference: src/kharmonic_lofar.py:93,131-202).
+
+    Alternating groups are realized by zeroing the masked coordinates of the flat
+    gradient, which confines every L-BFGS update to the active group's subspace."""
+    from jax.flatten_util import ravel_pytree
+
+    from lshm_tpu.optim import make_lbfgs_step
+    from lshm_tpu.train.schedule import group_mask
+
+    nadmm = cfg.train.admm_iters
+    use_rica = cfg.model.rica
+    khm_order = cfg.model.khm_order
+
+    def objective(params, x, uv, duals, w):
+        return cascade_objective(
+            model, params, x, uv, duals, w, num_groups,
+            use_rica=use_rica, khm_order=khm_order,
+        )
+
+    # flat {0,1} mask for the active group: ravel a pytree of ones/zeros per leaf
+    def flat_group_mask(sample_flat: jnp.ndarray) -> jnp.ndarray:
+        params = unravel(sample_flat)
+        mask_tree = group_mask(params, group)
+        ones = jax.tree.map(
+            lambda leaf, m: jnp.full(jnp.shape(leaf), 1.0 if m else 0.0, sample_flat.dtype),
+            params, mask_tree,
+        )
+        return ravel_pytree(ones)[0]
+
+    def value_fn(flat, x, uv, duals, w):
+        return objective(unravel(flat), x, uv, duals, w)[0]
+
+    if group == "all":
+        def vg_fn(flat, x, uv, duals, w):
+            return jax.value_and_grad(value_fn)(flat, x, uv, duals, w)
+    else:
+        def vg_fn(flat, x, uv, duals, w):
+            v, g = jax.value_and_grad(value_fn)(flat, x, uv, duals, w)
+            return v, g * flat_group_mask(flat)
+
+    lbfgs_step = make_lbfgs_step(vg_fn, value_fn, cfg.optim.lbfgs)
+
+    def train_step(state: LBFGSTrainState, x, uv, w: LossWeights):
+        duals = Duals.zeros(x.size, x.dtype)
+
+        def admm_iter(carry, _):
+            flat, opt_state, duals = carry
+            res = lbfgs_step(flat, opt_state, x, uv, duals, w)
+            params = unravel(res.x)
+            _, metrics = cascade_objective(
+                model, params, x, uv, duals, w, num_groups,
+                use_rica=use_rica, khm_order=khm_order,
+            )
+            duals = dual_update(model, params, x, uv, duals, w.rho)
+            return (res.x, res.state, duals), metrics
+
+        (flat, opt_state, _), metrics = jax.lax.scan(
+            admm_iter, (state.flat_params, state.opt_state, duals), None, length=nadmm
+        )
+        return (
+            state.replace(flat_params=flat, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    if not jit:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

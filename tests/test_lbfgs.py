@@ -1,0 +1,197 @@
+"""Jittable L-BFGS tests: convergence on deterministic problems (quadratic, Rosenbrock),
+batch-mode behavior on noisy objectives, and trajectory parity against the reference
+optimizer (imported read-only from /root/reference, torch CPU) on a fixed quadratic."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lshm_tpu.config import LBFGSConfig
+from lshm_tpu.optim import LBFGS, lbfgs_init, make_lbfgs_step
+
+REF = "/root/reference/src"
+
+
+def quad_problem(n=12, seed=0):
+    rng = np.random.default_rng(seed)
+    Q = rng.normal(size=(n, n))
+    A = (Q @ Q.T / n + np.eye(n)).astype(np.float32)
+    b = rng.normal(size=n).astype(np.float32)
+    x0 = rng.normal(size=n).astype(np.float32)
+    xstar = np.linalg.solve(A, b)
+    fstar = 0.5 * xstar @ A @ xstar - b @ xstar
+    return A, b, x0, xstar, fstar
+
+
+def test_fullbatch_cubic_quadratic_converges():
+    A, b, x0, xstar, fstar = quad_problem()
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+    f = lambda v: 0.5 * v @ Aj @ v - bj @ v
+    cfg = LBFGSConfig(lr=1.0, max_iter=30, history_size=7, line_search=True, batch_mode=False)
+    step = jax.jit(make_lbfgs_step(jax.value_and_grad(f), f, cfg))
+    state = lbfgs_init(x0.size, cfg)
+    x = jnp.asarray(x0)
+    for _ in range(5):
+        x, state, _ = step(x, state)
+    assert float(f(x)) - fstar < 1e-3 * (float(f(jnp.asarray(x0))) - fstar)
+    np.testing.assert_allclose(np.asarray(x), xstar, atol=0.05)
+
+
+def test_fixed_step_no_linesearch_descends():
+    A, b, x0, _, fstar = quad_problem(seed=1)
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+    f = lambda v: 0.5 * v @ Aj @ v - bj @ v
+    cfg = LBFGSConfig(lr=0.2, max_iter=10, line_search=False, batch_mode=False)
+    step = jax.jit(make_lbfgs_step(jax.value_and_grad(f), f, cfg))
+    state = lbfgs_init(x0.size, cfg)
+    x = jnp.asarray(x0)
+    f0 = float(f(x))
+    for _ in range(5):
+        x, state, _ = step(x, state)
+    assert float(f(x)) < f0
+
+
+def test_rosenbrock_fullbatch():
+    def f(v):
+        return 100.0 * (v[1] - v[0] ** 2) ** 2 + (1.0 - v[0]) ** 2
+
+    cfg = LBFGSConfig(lr=1.0, max_iter=50, history_size=7, line_search=True, batch_mode=False)
+    step = jax.jit(make_lbfgs_step(jax.value_and_grad(f), f, cfg))
+    state = lbfgs_init(2, cfg)
+    x = jnp.asarray(np.array([-1.2, 1.0], np.float32))
+    for _ in range(20):
+        x, state, _ = step(x, state)
+    assert float(f(x)) < 1e-3
+    np.testing.assert_allclose(np.asarray(x), [1.0, 1.0], atol=0.05)
+
+
+def test_batchmode_backtracking_noisy_quadratic():
+    """Stochastic mode: minibatch least squares; loss must drop and the adaptive max step
+    alphabar must end in (0, 1]."""
+    rng = np.random.default_rng(3)
+    n, dim = 256, 8
+    W = rng.normal(size=(n, dim)).astype(np.float32)
+    true = rng.normal(size=dim).astype(np.float32)
+    y = W @ true + 0.05 * rng.normal(size=n).astype(np.float32)
+
+    cfg = LBFGSConfig(lr=1.0, max_iter=4, history_size=7, line_search=True, batch_mode=True)
+
+    def loss(v, Wb, yb):
+        r = Wb @ v - yb
+        return jnp.mean(r * r)
+
+    step = jax.jit(make_lbfgs_step(jax.value_and_grad(loss), loss, cfg))
+    state = lbfgs_init(dim, cfg)
+    x = jnp.zeros(dim)
+    full0 = float(loss(x, jnp.asarray(W), jnp.asarray(y)))
+    for i in range(25):
+        idx = rng.integers(0, n, 64)
+        x, state, _ = step(x, state, jnp.asarray(W[idx]), jnp.asarray(y[idx]))
+    full = float(loss(x, jnp.asarray(W), jnp.asarray(y)))
+    assert full < 0.1 * full0
+    ab = float(state.alphabar)
+    assert 0.0 < ab <= 1.0
+    assert int(state.func_evals) > 25  # line search actually probed
+
+
+def test_history_bounded():
+    A, b, x0, _, _ = quad_problem(seed=4)
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+    f = lambda v: 0.5 * v @ Aj @ v - bj @ v
+    cfg = LBFGSConfig(lr=1.0, max_iter=20, history_size=5, line_search=True, batch_mode=False)
+    step = jax.jit(make_lbfgs_step(jax.value_and_grad(f), f, cfg))
+    state = lbfgs_init(x0.size, cfg)
+    x, state, _ = step(jnp.asarray(x0), state)
+    assert int(state.hist_count) <= 5
+    assert state.s_hist.shape == (5, x0.size)
+
+
+def test_nan_objective_keeps_params_finite():
+    """NaN-producing closure: the step must not poison the parameters (NaN guards;
+    reference: src/lbfgsnew.py:153,556,695-697,713-715)."""
+
+    def f(v):
+        return jnp.where(jnp.abs(v[0]) > 3.0, jnp.nan, jnp.sum(v * v))
+
+    cfg = LBFGSConfig(lr=1.0, max_iter=4, line_search=True, batch_mode=True)
+    step = jax.jit(make_lbfgs_step(jax.value_and_grad(f), f, cfg))
+    state = lbfgs_init(2, cfg)
+    x = jnp.asarray(np.array([1.0, 2.0], np.float32))
+    for _ in range(5):
+        x, state, _ = step(x, state)
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_pytree_wrapper():
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros(())}
+
+    def loss(p):
+        return jnp.sum((p["w"] - 2.0) ** 2) + (p["b"] + 1.0) ** 2
+
+    cfg = LBFGSConfig(lr=1.0, max_iter=20, line_search=True, batch_mode=False)
+    opt = LBFGS(loss, params, cfg)
+    for _ in range(5):
+        opt.step()
+    out = opt.params
+    np.testing.assert_allclose(np.asarray(out["w"]), 2.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["b"]), -1.0, atol=1e-3)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_parity_vs_reference_fullbatch_quadratic():
+    """Loss-trajectory parity vs the reference LBFGSNew on a fixed quadratic (full-batch,
+    cubic line search).  The reference is executed read-only from /root/reference."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from lbfgsnew import LBFGSNew  # noqa: E402
+
+    A, b, x0, xstar, fstar = quad_problem(n=10, seed=7)
+
+    # --- reference trajectory
+    xt = torch.nn.Parameter(torch.from_numpy(x0.copy()))
+    At, bt = torch.from_numpy(A), torch.from_numpy(b)
+    opt = LBFGSNew([xt], lr=1.0, max_iter=8, history_size=7,
+                   line_search_fn=True, batch_mode=False)
+
+    ref_losses = []
+
+    def closure():
+        if torch.is_grad_enabled():
+            opt.zero_grad()
+        l = 0.5 * xt @ At @ xt - bt @ xt
+        if l.requires_grad:
+            l.backward()
+        return l
+
+    for _ in range(4):
+        ref_losses.append(float(closure()))
+        opt.step(closure)
+    ref_final = float(closure())
+
+    # --- ours
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+    f = lambda v: 0.5 * v @ Aj @ v - bj @ v
+    cfg = LBFGSConfig(lr=1.0, max_iter=8, history_size=7, line_search=True, batch_mode=False)
+    step = jax.jit(make_lbfgs_step(jax.value_and_grad(f), f, cfg))
+    state = lbfgs_init(x0.size, cfg)
+    x = jnp.asarray(x0)
+    our_losses = []
+    for _ in range(4):
+        our_losses.append(float(f(x)))
+        x, state, _ = step(x, state)
+    our_final = float(f(x))
+
+    # identical start, and both end essentially at the optimum
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-5)
+    assert our_final - fstar < 1e-4 + 1e-3 * abs(fstar)
+    assert ref_final - fstar < 1e-4 + 1e-3 * abs(fstar)
+    # per-step losses track each other to a few percent of the total descent
+    scale = ref_losses[0] - fstar
+    for r, o in zip(ref_losses, our_losses):
+        assert abs(r - o) < 0.05 * scale + 1e-5, (ref_losses, our_losses)
