@@ -1,0 +1,87 @@
+"""Headline benchmark: cascaded AE+KHM ADMM training throughput (patches/sec/chip).
+
+Measures the jitted full-cascade ADMM train step (Adam path) at the reference flagship
+dimensions on the current JAX backend and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "patches/s", "vs_baseline": N / reference}
+
+The unit of work mirrors the PyTorch reference exactly — one ADMM inner iteration =
+closure fwd+bwd of all loss terms + optimizer update + dual-update forward — so
+``vs_baseline`` is the per-chip speedup over the reference measured by
+benchmarks/measure_reference.py (cached in benchmarks/reference_baseline.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "reference_baseline.json")
+
+BATCH_PATCHES = 48        # 12 baselines x 4 patches (192x192 SAP -> 2x2 grid of 128-patches)
+NBASELINES = 12
+NADMM = 10                # reference inner-loop count (src/kharmonic_lofar.py:28)
+STEPS = 5
+
+
+def measure_ours() -> dict:
+    from lshm_tpu.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
+    from lshm_tpu.models import CascadedAE
+    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
+
+    cfg = Config(
+        data=DataConfig(batch_size=NBASELINES, patch_size=128),
+        model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True),
+        optim=OptimConfig(optimizer="adam", adam_lr=1e-4),
+        train=TrainConfig(admm_iters=NADMM),
+    )
+    model = CascadedAE(cfg=cfg.model)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (BATCH_PATCHES, 128, 128, 4), jnp.float32)
+    uv = jnp.repeat(
+        jax.random.normal(jax.random.fold_in(key, 1), (NBASELINES, 2)),
+        BATCH_PATCHES // NBASELINES, axis=0,
+    )
+    state, tx = init_train_state(model, cfg, jax.random.fold_in(key, 2), x, uv)
+    step = make_train_step(model, tx, cfg, num_groups=NBASELINES, donate=True)
+    w = LossWeights()
+
+    state, metrics = step(state, x, uv, w)           # compile + warmup
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, x, uv, w)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / (STEPS * NADMM)   # sec per ADMM iter
+    return {
+        "patches_per_sec": BATCH_PATCHES / dt,
+        "sec_per_admm_iter": dt,
+        "final_loss": float(metrics["loss"][-1]),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    ours = measure_ours()
+    vs = None
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            ref = json.load(f)
+        if ref.get("patches_per_sec"):
+            vs = ours["patches_per_sec"] / ref["patches_per_sec"]
+    print(json.dumps({
+        "metric": "ae_khm_train_patches_per_sec_per_chip",
+        "value": round(ours["patches_per_sec"], 2),
+        "unit": "patches/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "detail": ours,
+    }))
+
+
+if __name__ == "__main__":
+    main()
