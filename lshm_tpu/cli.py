@@ -1,0 +1,153 @@
+"""Command-line interface.
+
+The reference has no CLI — every experiment is a hand-edited script (SURVEY.md §5
+"config/flag system: none").  Here:
+
+    python -m lshm_tpu.cli synth --out data/            # write synthetic H5 fixture
+    python -m lshm_tpu.cli train --data-dir data/ --preset full_khm \\
+           --set train.num_epochs=2 --set data.batch_size=8
+    python -m lshm_tpu.cli eval --data-dir data/ --ckpt checkpoints/ --out results/
+    python -m lshm_tpu.cli import-torch --net net.model --net-t netT.model \\
+           --net-f netF.model --khm khm.model --out checkpoints/
+    python -m lshm_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_set(p):
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VAL",
+        help="config override, e.g. data.batch_size=4 or optim.optimizer=lbfgs",
+    )
+
+
+def cmd_synth(args):
+    from lshm_tpu.data.synthetic import write_synthetic_h5
+
+    path = write_synthetic_h5(
+        f"{args.out}/L000001.MS_extract.h5",
+        nstations=args.nstations, ntime=args.ntime, nfreq=args.nfreq, seed=args.seed,
+    )
+    print(f"wrote {path}")
+
+
+def _build_config(args):
+    import dataclasses
+
+    from lshm_tpu.config import _apply_overrides, preset
+
+    cfg = preset(args.preset)
+    if getattr(args, "data_dir", None):
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, data_dir=args.data_dir))
+    return _apply_overrides(cfg, args.set)
+
+
+def cmd_train(args):
+    from lshm_tpu.train.trainer import Trainer
+    from lshm_tpu.utils.metrics import MetricLogger
+
+    cfg = _build_config(args)
+    logger = MetricLogger(jsonl_path=args.log_jsonl, echo=not args.quiet)
+    t = Trainer(cfg, logger)
+    if args.resume:
+        t.load(cfg.train.checkpoint_dir)
+    summary = t.run()
+    print(f"done: {summary}")
+
+
+def cmd_eval(args):
+    import jax
+
+    from lshm_tpu.eval import evaluate_sap
+    from lshm_tpu.data import scan_files
+    from lshm_tpu.train.trainer import Trainer
+
+    cfg = _build_config(args)
+    t = Trainer(cfg)
+    t.load(args.ckpt)
+    files, saps = scan_files(cfg.data.data_dir, cfg.data.file_pattern)
+    if not files:
+        sys.exit(f"no valid H5 data under {cfg.data.data_dir!r}")
+    idx = args.sap_index % len(files)
+    res = evaluate_sap(
+        t.model, t.params, files[idx], saps[idx],
+        patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
+        order=cfg.model.khm_order, num_hard_clusters=args.hard_clusters,
+        out_dir=args.out, montages=args.montages,
+    )
+    print(f"evaluated {res.X.shape[1]} baselines; "
+          f"soft cluster histogram: {__import__('numpy').bincount(res.soft_assign).tolist()}")
+
+
+def cmd_import_torch(args):
+    from lshm_tpu.utils.checkpoint import save_checkpoint
+    from lshm_tpu.utils.torch_import import load_reference_checkpoints
+
+    params = load_reference_checkpoints(args.net, args.net_t, args.net_f, args.khm,
+                                        rica=not args.no_rica)
+    save_checkpoint(args.out, {"params": params}, step=0,
+                    extras={"source": "torch-reference"})
+    print(f"imported reference checkpoints -> {args.out}")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lshm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth", help="write a synthetic MS_extract.h5")
+    p.add_argument("--out", required=True)
+    p.add_argument("--nstations", type=int, default=6)
+    p.add_argument("--ntime", type=int, default=192)
+    p.add_argument("--nfreq", type=int, default=192)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("train", help="train the cascaded AE + KHM model")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--preset", default="full_khm",
+                   choices=["ae2d_adam", "fourier_cascade", "full_khm", "full_khm_lbfgs"])
+    p.add_argument("--log-jsonl", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    _add_set(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="clustering evaluation report")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", default="eval_out")
+    p.add_argument("--preset", default="full_khm")
+    p.add_argument("--sap-index", type=int, default=0)
+    p.add_argument("--hard-clusters", type=int, default=10)
+    p.add_argument("--montages", action="store_true")
+    _add_set(p)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("import-torch", help="convert reference .model checkpoints")
+    p.add_argument("--net", required=True)
+    p.add_argument("--net-t", required=True)
+    p.add_argument("--net-f", required=True)
+    p.add_argument("--khm", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--no-rica", action="store_true")
+    p.set_defaults(fn=cmd_import_torch)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Clustering evaluation: per-baseline cluster distances -> t-SNE -> agglomerative
+hard clustering -> montages.
+
+Re-designs the reference evaluator (reference: src/evaluate_clustering.py:40-163) for
+TPU: instead of a Python loop running one baseline at a time with Python-loop distance
+sums (reference :76-119), baselines are processed in jitted batches — the cascade forward
+and the per-cluster mean ||Mu - m_k||^p reduce entirely on device; only t-SNE and the
+agglomerative pass (sklearn) stay on host.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lshm_tpu.losses import pairwise_sq_dists
+
+
+@dataclass
+class EvalResult:
+    X: np.ndarray                 # [K, nbase] per-baseline mean distances (row-demeaned)
+    soft_assign: np.ndarray       # [nbase] argmin-distance cluster id (reference clusid)
+    labels: np.ndarray | None     # [nbase] agglomerative hard labels (None if skipped)
+    embedding: np.ndarray | None  # [nbase, 2] t-SNE embedding (None if skipped)
+    mean_latents: np.ndarray      # [nbase, D] per-baseline mean latent (GNN node features)
+
+
+def _dist_stat(Mu: jnp.ndarray, M: jnp.ndarray, p: int) -> jnp.ndarray:
+    """mean_n ||Mu_n - m_k||^p over a baseline's patches -> [K]
+    (reference statistic: src/evaluate_clustering.py:111-115)."""
+    d2 = pairwise_sq_dists(Mu, M)
+    dp = d2 ** (p // 2) if p % 2 == 0 else jnp.sqrt(d2 + 1e-30) ** p
+    return jnp.mean(dp, axis=0)
+
+
+@partial(jax.jit, static_argnames=("model", "ppb", "order"))
+def _batched_features(model, params, x, uv, ppb: int, order: int):
+    """x [B*ppb, ps, ps, C] -> (dists [B, K], mean_latents [B, D]) for B baselines."""
+    out = model.apply(params, x, uv)
+    D = out.Mu.shape[-1]
+    Mu = out.Mu.reshape(-1, ppb, D)
+    M = params["params"]["khm"]["M"]
+    dists = jax.vmap(lambda m: _dist_stat(m, M, order))(Mu)
+    return dists, jnp.mean(Mu, axis=1)
+
+
+def baseline_distance_matrix(
+    model,
+    params,
+    filename: str,
+    sap: str,
+    patch_size: int = 128,
+    num_channels: int = 4,
+    order: int = 4,
+    baselines_per_batch: int = 8,
+    baseline_ids: list[int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (X [K, nbase] raw distance matrix, mean_latents [nbase, D])."""
+    from lshm_tpu.data.h5io import read_baseline_patches, read_metadata
+
+    nbase = read_metadata(filename, sap)[0]
+    ids = list(baseline_ids) if baseline_ids is not None else list(range(nbase))
+    K = params["params"]["khm"]["M"].shape[0]
+    X = np.zeros((K, len(ids)), np.float64)
+    latents = None
+
+    for start in range(0, len(ids), baselines_per_batch):
+        chunk = ids[start : start + baselines_per_batch]
+        xs, uvs = [], []
+        for b in chunk:
+            _, _, patches, uv = read_baseline_patches(
+                filename, sap, b, patch_size, num_channels, uvdist=True
+            )
+            xs.append(patches)
+            uvs.append(uv)
+        ppb = xs[0].shape[0]
+        x = jnp.asarray(np.concatenate(xs))
+        uv = jnp.asarray(np.concatenate(uvs))
+        dists, mls = _batched_features(model, params, x, uv, ppb, order)
+        dists, mls = np.asarray(dists), np.asarray(mls)
+        if latents is None:
+            latents = np.zeros((len(ids), mls.shape[-1]), np.float32)
+        X[:, start : start + len(chunk)] = dists[: len(chunk)].T
+        latents[start : start + len(chunk)] = mls[: len(chunk)]
+    return X, latents
+
+
+def evaluate_sap(
+    model,
+    params,
+    filename: str,
+    sap: str,
+    patch_size: int = 128,
+    num_channels: int = 4,
+    order: int = 4,
+    num_hard_clusters: int = 10,
+    out_dir: str | None = None,
+    run_tsne: bool = True,
+    montages: bool = False,
+    tsne_seed: int = 99,
+) -> EvalResult:
+    """Full evaluation of one SAP (reference: src/evaluate_clustering.py:65-163):
+    distance matrix -> row-demean -> t-SNE(2) -> StandardScaler + AgglomerativeClustering
+    (linkage='average') -> optional per-cluster spectrogram montages."""
+    X_raw, latents = baseline_distance_matrix(
+        model, params, filename, sap, patch_size, num_channels, order
+    )
+    soft = np.argmin(X_raw, axis=0)
+    X = X_raw - X_raw.mean(axis=1, keepdims=True)       # row-demean (reference :122-123)
+
+    embedding = None
+    labels = None
+    nbase = X.shape[1]
+    if run_tsne and nbase >= 5:
+        from sklearn.cluster import AgglomerativeClustering
+        from sklearn.manifold import TSNE
+        from sklearn.preprocessing import StandardScaler
+
+        perpl = min(30.0, max(2.0, (nbase - 1) / 3))
+        tsne = TSNE(n_components=2, random_state=tsne_seed, perplexity=perpl)
+        embedding = tsne.fit_transform(X.T)
+        scaled = StandardScaler().fit_transform(embedding)
+        k = min(num_hard_clusters, nbase)
+        labels = AgglomerativeClustering(linkage="average", n_clusters=k).fit(scaled).labels_
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        from scipy.io import savemat
+
+        savemat(os.path.join(out_dir, "X.mat"), {"X": X})
+        savemat(
+            os.path.join(out_dir, "M.mat"),
+            {"M": np.asarray(params["params"]["khm"]["M"])},
+        )
+        if embedding is not None:
+            _plot_scatter(embedding, soft, labels, out_dir)
+        if montages:
+            _save_montages(filename, sap, labels if labels is not None else soft,
+                           num_channels, out_dir)
+
+    return EvalResult(X=X, soft_assign=soft, labels=labels, embedding=embedding,
+                      mean_latents=latents)
+
+
+def _plot_scatter(embedding, soft, labels, out_dir):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for name, colors in (("scatter", soft), ("clusters", labels)):
+        if colors is None:
+            continue
+        fig, ax = plt.subplots(figsize=(8, 6))
+        sc = ax.scatter(embedding[:, 0], embedding[:, 1], c=colors, cmap="Spectral", s=60)
+        ax.set_title(f"{name}: {len(set(colors.tolist()))} clusters")
+        fig.colorbar(sc)
+        fig.savefig(os.path.join(out_dir, f"{name}.png"), dpi=100)
+        plt.close(fig)
+
+
+def _save_montages(filename, sap, labels, num_channels, out_dir):
+    """Per-cluster flat-spectrogram PNGs (reference: src/evaluate_clustering.py:158-163)."""
+    from lshm_tpu.data.h5io import read_baseline_flat
+    from lshm_tpu.utils.rgb import channel_to_rgb, save_image_grid
+
+    for nb, lab in enumerate(labels):
+        vis = read_baseline_flat(filename, sap, nb, num_channels)
+        img = channel_to_rgb(vis[..., :4])
+        save_image_grid([img], os.path.join(out_dir, f"b{int(lab)}_{nb}.png"))
+
+
+def nmi(a: np.ndarray, b: np.ndarray) -> float:
+    """Normalized mutual information between two hard assignments (the BASELINE.md
+    cluster-parity metric)."""
+    from sklearn.metrics import normalized_mutual_info_score
+
+    return float(normalized_mutual_info_score(a, b))

@@ -1,0 +1,69 @@
+"""Evaluation-pipeline tests on the synthetic H5 fixture."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lshm_tpu.config import ModelConfig
+from lshm_tpu.eval import baseline_distance_matrix, evaluate_sap, nmi
+from lshm_tpu.models import CascadedAE
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=4, rica=True)
+    model = CascadedAE(cfg=cfg)
+    x = jnp.zeros((1, 128, 128, 4))
+    uv = jnp.zeros((1, 2))
+    params = model.init(jax.random.PRNGKey(0), x, uv)
+    return model, params
+
+
+def test_distance_matrix_shape_and_oracle(small_model, synth_h5):
+    model, params = small_model
+    X, latents = baseline_distance_matrix(
+        model, params, synth_h5, "0", order=4, baselines_per_batch=4
+    )
+    assert X.shape == (4, 10)       # K=4 clusters, 10 baselines
+    assert latents.shape == (10, 32)  # 16 + 8 + 8
+    assert np.all(np.isfinite(X))
+    # oracle for baseline 0: forward + double-loop distance
+    from lshm_tpu.data.h5io import read_baseline_patches
+
+    _, _, patches, uv = read_baseline_patches(synth_h5, "0", 0, 128, 4, uvdist=True)
+    out = model.apply(params, jnp.asarray(patches), jnp.asarray(uv))
+    Mu = np.asarray(out.Mu)
+    M = np.asarray(params["params"]["khm"]["M"])
+    want = np.array(
+        [np.mean([np.linalg.norm(mu - m) ** 4 for mu in Mu]) for m in M]
+    )
+    np.testing.assert_allclose(X[:, 0], want, rtol=2e-3)
+
+
+def test_evaluate_sap_full(small_model, synth_h5, tmp_path):
+    model, params = small_model
+    res = evaluate_sap(
+        model, params, synth_h5, "0",
+        num_hard_clusters=3, out_dir=str(tmp_path), montages=True,
+    )
+    assert res.X.shape == (4, 10)
+    # row-demeaned
+    np.testing.assert_allclose(res.X.mean(axis=1), 0.0, atol=1e-6)
+    assert res.soft_assign.shape == (10,)
+    assert res.labels is not None and len(set(res.labels.tolist())) <= 3
+    assert res.embedding.shape == (10, 2)
+    # artifacts written
+    assert (tmp_path / "X.mat").exists()
+    assert (tmp_path / "M.mat").exists()
+    assert (tmp_path / "scatter.png").exists()
+    assert len(list(tmp_path.glob("b*_*.png"))) == 10
+
+
+def test_nmi():
+    a = np.array([0, 0, 1, 1, 2, 2])
+    assert nmi(a, a) == 1.0
+    perm = np.array([2, 2, 0, 0, 1, 1])  # relabeled -> still NMI 1
+    assert nmi(a, perm) == 1.0
+    rnd = np.array([0, 1, 0, 1, 0, 1])
+    assert nmi(a, rnd) < 0.6

@@ -1,0 +1,107 @@
+"""Trainer orchestration tests: tiny end-to-end runs on the synthetic fixture, ramp with
+optimizer switching, checkpoint save/load round trip, CLI smoke."""
+
+import numpy as np
+import jax
+import pytest
+
+from lshm_tpu.config import (
+    Config, DataConfig, LBFGSConfig, LossConfig, ModelConfig, OptimConfig,
+    RampStage, TrainConfig,
+)
+from lshm_tpu.train.trainer import Trainer
+from lshm_tpu.utils.metrics import MetricLogger
+
+
+def tiny_cfg(ckpt_dir="", **train_kw):
+    return Config(
+        data=DataConfig(batch_size=2, patch_size=128, num_channels=4),
+        model=ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=4, rica=True),
+        loss=LossConfig(),
+        optim=OptimConfig(optimizer="adam", adam_lr=1e-3,
+                          lbfgs=LBFGSConfig(max_iter=2, history_size=3)),
+        train=TrainConfig(
+            num_epochs=1, iters_per_epoch=2, admm_iters=2,
+            checkpoint_dir=ckpt_dir, **train_kw,
+        ),
+    )
+
+
+def make_sampler(synth_h5, cfg):
+    from lshm_tpu.data import MinibatchSampler
+
+    return MinibatchSampler([synth_h5], ["0"], cfg.data, seed=0)
+
+
+def test_trainer_runs_and_logs(synth_h5):
+    cfg = tiny_cfg()
+    logger = MetricLogger(echo=False)
+    t = Trainer(cfg, logger)
+    summary = t.run(make_sampler(synth_h5, cfg))
+    assert len(logger.history) == 2
+    assert np.isfinite(summary["loss"])
+
+
+def test_trainer_ramp_optimizer_switch(synth_h5):
+    cfg = tiny_cfg()
+    cfg = cfg.replace(train=TrainConfig(
+        num_epochs=2, iters_per_epoch=1, admm_iters=1, checkpoint_dir="",
+        ramp=(RampStage(epochs=1, alpha=0.001, optimizer="adam"),
+              RampStage(epochs=1, alpha=0.01, optimizer="lbfgs")),
+    ))
+    logger = MetricLogger(echo=False)
+    t = Trainer(cfg, logger)
+    t.run(make_sampler(synth_h5, cfg))
+    assert t._opt_kind[0] == "lbfgs"       # switched
+    assert len(logger.history) == 2
+    assert all(np.isfinite(h["loss"]) for h in logger.history)
+
+
+def test_trainer_group_schedule(synth_h5):
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        optim=OptimConfig(optimizer="adam", adam_lr=1e-3,
+                          group_schedule=("ae2d", "khm")),
+        train=TrainConfig(num_epochs=2, iters_per_epoch=1, admm_iters=1,
+                          checkpoint_dir=""),
+    )
+    t = Trainer(cfg, MetricLogger(echo=False))
+    t.run(make_sampler(synth_h5, cfg))
+    assert t._opt_kind == ("adam", "khm")
+
+
+def test_checkpoint_roundtrip(synth_h5, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    cfg = tiny_cfg(ckpt_dir=ckpt)
+    t = Trainer(cfg, MetricLogger(echo=False))
+    t.run(make_sampler(synth_h5, cfg))
+    params_before = t.params
+
+    t2 = Trainer(cfg, MetricLogger(echo=False))
+    t2.load(ckpt)
+    for a, b in zip(jax.tree.leaves(params_before), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_synth_and_train(tmp_path, capsys):
+    from lshm_tpu.cli import main
+
+    data_dir = str(tmp_path / "data")
+    import os
+
+    os.makedirs(data_dir)
+    main(["synth", "--out", data_dir, "--nstations", "4", "--ntime", "192",
+          "--nfreq", "192"])
+    out = capsys.readouterr().out
+    assert "wrote" in out
+
+    main([
+        "train", "--data-dir", data_dir, "--preset", "full_khm", "--quiet",
+        "--set", "train.num_epochs=1", "--set", "train.iters_per_epoch=1",
+        "--set", "train.admm_iters=1", "--set", "data.batch_size=2",
+        "--set", "model.latent_dim=16", "--set", "model.latent_dim_1d=8",
+        "--set", "model.num_clusters=3",
+        "--set", f"train.checkpoint_dir={tmp_path}/cli_ckpt",
+    ])
+    out = capsys.readouterr().out
+    assert "done:" in out
