@@ -35,7 +35,8 @@ def measure_ours() -> dict:
 
     cfg = Config(
         data=DataConfig(batch_size=NBASELINES, patch_size=128),
-        model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True),
+        model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
+                          khm_backend="auto"),   # fused Pallas KHM kernel on TPU
         optim=OptimConfig(optimizer="adam", adam_lr=1e-4),
         train=TrainConfig(admm_iters=NADMM),
     )

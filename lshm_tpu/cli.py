@@ -94,6 +94,25 @@ def cmd_import_torch(args):
     print(f"imported reference checkpoints -> {args.out}")
 
 
+def cmd_demo(args):
+    """Render a synthetic fringe spectrogram as pseudocolor PNG — the equivalent of the
+    reference's display_colors.py demo (reference: src/display_colors.py:27-51)."""
+    import numpy as np
+
+    from lshm_tpu.data.synthetic import synth_fringe
+    from lshm_tpu.utils.rgb import channel_to_rgb, save_image_grid
+
+    rng = np.random.default_rng(args.seed)
+    uv_m = rng.uniform(-1e3, 1e3, size=2)
+    vis = synth_fringe(rng, args.ntime, args.nfreq, uv_m, noise=0.05)
+    # 4 channels: re/im of pols 0 and 3
+    x = np.stack(
+        [vis[:, :, 0, 0], vis[:, :, 0, 1], vis[:, :, 3, 0], vis[:, :, 3, 1]], axis=-1
+    )
+    save_image_grid([channel_to_rgb(x)], args.out)
+    print(f"wrote {args.out}")
+
+
 def cmd_bench(args):
     import bench
 
@@ -141,6 +160,13 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--no-rica", action="store_true")
     p.set_defaults(fn=cmd_import_torch)
+
+    p = sub.add_parser("demo", help="render a synthetic fringe spectrogram PNG")
+    p.add_argument("--out", default="fringe.png")
+    p.add_argument("--ntime", type=int, default=128)
+    p.add_argument("--nfreq", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_demo)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)

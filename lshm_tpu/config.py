@@ -50,6 +50,9 @@ class ModelConfig:
     khm_order: int = 4                # Khp: p in 1/||.||^p
     harmonic_scales: tuple[float, ...] = (1e-4, 1e-3, 1e-2, 1e-1)
     rica: bool = True                 # reconstruction-ICA sparse latent heads
+    # KHM loss backend: "xla" (fused jnp expression; GSPMD-safe for multi-chip),
+    # "pallas" (fused VMEM kernel; single-chip benchmark winner), "auto" (pallas on TPU)
+    khm_backend: str = "xla"
     # legacy pipeline (reference Demo.ipynb): second 2D AE on the FFT of the residual
     # instead of the two 1D AEs.
     fourier_variant: bool = False

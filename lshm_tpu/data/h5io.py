@@ -135,6 +135,19 @@ def _decode_channels(g, h, baseline_ids: Sequence[int], num_channels: int) -> np
     return out
 
 
+def read_baseline_raw(
+    filename: str, sap: str, baseline_ids: Sequence[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Raw int8 visibilities + float32 scale factors for the given baselines (the input
+    of the native fused decode; see lshm_tpu/native)."""
+    with h5py.File(filename, "r") as f:
+        g = f["measurement"]["saps"][sap]["visibilities"]
+        h = f["measurement"]["saps"][sap]["visibility_scale_factors"]
+        vis = np.stack([g[b] for b in baseline_ids])
+        scales = np.stack([h[b] for b in baseline_ids])
+    return vis, scales
+
+
 def read_baseline_channels(
     filename: str,
     sap: str,

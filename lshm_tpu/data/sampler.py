@@ -18,7 +18,14 @@ from typing import Callable, Iterator
 import numpy as np
 
 from lshm_tpu.config import DataConfig
-from lshm_tpu.data.h5io import compute_uv, read_baseline_channels, read_metadata
+from lshm_tpu.data.h5io import (
+    _POLS_4CH,
+    _POLS_8CH,
+    compute_uv,
+    read_baseline_channels,
+    read_baseline_raw,
+    read_metadata,
+)
 from lshm_tpu.data.patches import patchify
 
 
@@ -63,6 +70,7 @@ class MinibatchSampler:
         cfg: DataConfig,
         seed: int = 0,
         augment_fn: Callable[[np.random.Generator, np.ndarray], np.ndarray] | None = None,
+        use_native: bool | None = None,
     ):
         assert len(file_list) == len(sap_list) and len(file_list) > 0
         self.file_list = file_list
@@ -72,6 +80,13 @@ class MinibatchSampler:
         self.augment_fn = augment_fn or default_augment
         # cache metadata so baseline sampling doesn't reopen files
         self._meta = [read_metadata(f, s) for f, s in zip(file_list, sap_list)]
+        # native fused decode (lshm_tpu/native) when built; numpy fallback otherwise
+        if use_native is None:
+            from lshm_tpu import native
+
+            self.use_native = native.available()
+        else:
+            self.use_native = use_native
 
     def sample(self) -> Minibatch:
         cfg = self.cfg
@@ -80,14 +95,23 @@ class MinibatchSampler:
         nbase = self._meta[idx][0]
         baseline_ids = self.rng.integers(0, nbase, cfg.batch_size)
 
-        x = read_baseline_channels(
-            filename, sap, baseline_ids, cfg.num_channels, cfg.patch_size
-        )
-        patches, (px, py) = patchify(x, cfg.patch_size)
-        patches = np.clip(patches, -cfg.clamp, cfg.clamp)
-        if cfg.normalize:
-            std = patches.std()
-            patches = (patches - patches.mean()) / (std if std > 0 else 1.0)
+        if self.use_native:
+            from lshm_tpu import native
+
+            vis, scales = read_baseline_raw(filename, sap, baseline_ids)
+            pols = _POLS_4CH if cfg.num_channels == 4 else _POLS_8CH
+            patches, (px, py) = native.decode_patchify(
+                vis, scales, pols, cfg.patch_size, cfg.clamp, normalize=cfg.normalize
+            )
+        else:
+            x = read_baseline_channels(
+                filename, sap, baseline_ids, cfg.num_channels, cfg.patch_size
+            )
+            patches, (px, py) = patchify(x, cfg.patch_size)
+            patches = np.clip(patches, -cfg.clamp, cfg.clamp)
+            if cfg.normalize:
+                std = patches.std()
+                patches = (patches - patches.mean()) / (std if std > 0 else 1.0)
 
         if cfg.uvdist:
             uv = compute_uv(filename, sap, baseline_ids)        # [B, 2]

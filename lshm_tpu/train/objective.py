@@ -72,9 +72,11 @@ def cascade_objective(
     num_groups: int,
     use_rica: bool = True,
     khm_order: int = 4,
+    khm_backend: str = "xla",
 ):
     """Returns (total_loss, metrics_dict). ``num_groups`` = number of baselines in the
-    minibatch (augmentation groups are baseline-major contiguous)."""
+    minibatch (augmentation groups are baseline-major contiguous).  ``khm_backend``
+    selects the fused Pallas KHM kernel ("pallas"/"auto") or the XLA expression."""
     out = model.apply(params, x, uv)
     numel = x.size
     loss0 = mse_sum(out.xrecon, x) / numel
@@ -92,7 +94,13 @@ def cascade_objective(
         latents = (out.mu, out.muT, out.muF)
 
     M = params["params"]["khm"]["M"]
-    kdist = w.alpha * khm_loss(out.Mu, M, khm_order)
+    if khm_backend == "xla":
+        kdist = w.alpha * khm_loss(out.Mu, M, khm_order)
+    else:
+        from lshm_tpu.kernels import khm_loss_fused
+
+        force = None if khm_backend == "auto" else khm_backend
+        kdist = w.alpha * khm_loss_fused(out.Mu, M, khm_order, force=force)
     sim = w.beta * cluster_similarity_loss(M)
     aug = w.gamma * augmentation_loss(out.Mu, num_groups)
 

@@ -71,11 +71,12 @@ def make_train_step(
     nadmm = cfg.train.admm_iters
     use_rica = cfg.model.rica
     khm_order = cfg.model.khm_order
+    khm_backend = cfg.model.khm_backend
 
     def objective(params, x, uv, duals, w):
         return cascade_objective(
             model, params, x, uv, duals, w, num_groups,
-            use_rica=use_rica, khm_order=khm_order,
+            use_rica=use_rica, khm_order=khm_order, khm_backend=khm_backend,
         )
 
     grad_fn = jax.value_and_grad(objective, has_aux=True)
@@ -155,11 +156,12 @@ def make_lbfgs_train_step(
     nadmm = cfg.train.admm_iters
     use_rica = cfg.model.rica
     khm_order = cfg.model.khm_order
+    khm_backend = cfg.model.khm_backend
 
     def objective(params, x, uv, duals, w):
         return cascade_objective(
             model, params, x, uv, duals, w, num_groups,
-            use_rica=use_rica, khm_order=khm_order,
+            use_rica=use_rica, khm_order=khm_order, khm_backend=khm_backend,
         )
 
     # flat {0,1} mask for the active group: ravel a pytree of ones/zeros per leaf

@@ -35,10 +35,12 @@ class Trainer:
     """Stateful training driver.  Handles Adam/L-BFGS switching (params carry over;
     optimizer moments reset on switch, like the reference's re-run-with-edits recipe)."""
 
-    def __init__(self, cfg: Config, logger: MetricLogger | None = None):
+    def __init__(self, cfg: Config, logger: MetricLogger | None = None,
+                 profile_dir: str | None = None):
         self.cfg = cfg
         self.model = CascadedAE(cfg=cfg.model)
         self.logger = logger or MetricLogger(echo=True)
+        self.profile_dir = profile_dir   # jax.profiler trace output (None = off)
         self._step_cache: dict = {}
         self._params = None          # canonical params pytree
         self._opt_kind = None        # ("adam"|"lbfgs", group)
@@ -143,15 +145,22 @@ class Trainer:
                 kind = cfg.optim.optimizer
             group = active_group(cfg.optim.group_schedule, epoch)
 
+            profiling = self.profile_dir is not None and epoch == 0
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
             for it in range(cfg.train.iters_per_epoch):
                 mb = sampler.sample()
                 x = jnp.asarray(mb.x)
                 uv = jnp.asarray(mb.uv)
                 self._ensure_state(kind, group, x, uv)
                 step = self._get_step(kind, group, mb.num_baselines)
-                self._state, metrics = step(self._state, x, uv, w)
+                with jax.profiler.StepTraceAnnotation("train_step", step_num=it):
+                    self._state, metrics = step(self._state, x, uv, w)
                 if (it % max(cfg.train.log_every, 1)) == 0:
                     self.logger.log_step(epoch, it, metrics, patches=x.shape[0])
+            if profiling:
+                jax.block_until_ready(jax.tree.leaves(self._state)[0])
+                jax.profiler.stop_trace()
 
             if cfg.train.save_every and (epoch + 1) % cfg.train.save_every == 0:
                 self.save(cfg.train.checkpoint_dir, step=epoch + 1)
