@@ -53,6 +53,9 @@ class ModelConfig:
     # KHM loss backend: "xla" (fused jnp expression; GSPMD-safe for multi-chip),
     # "pallas" (fused VMEM kernel; single-chip benchmark winner), "auto" (pallas on TPU)
     khm_backend: str = "xla"
+    # compute dtype for conv/dense activations ("float32" | "bfloat16"); params stay f32.
+    # bfloat16 feeds the v5e MXU natively (f32 convs lower to multi-pass bf16).
+    compute_dtype: str = "float32"
     # legacy pipeline (reference Demo.ipynb): second 2D AE on the FFT of the residual
     # instead of the two 1D AEs.
     fourier_variant: bool = False

@@ -68,12 +68,13 @@ class CascadedAE(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else self.dtype
         self.ae2d = AutoEncoder2D(
             latent_dim=c.latent_dim,
             channels=4 if c.fourier_variant else 4,
             harmonic_scales=c.harmonic_scales,
             rica=c.rica,
-            dtype=self.dtype,
+            dtype=dtype,
             name="ae2d",
         )
         if c.fourier_variant:
@@ -82,7 +83,7 @@ class CascadedAE(nn.Module):
                 channels=8,                       # 2C for C=4: real+imag stacked
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
-                dtype=self.dtype,
+                dtype=dtype,
                 name="aef",
             )
         else:
@@ -91,7 +92,7 @@ class CascadedAE(nn.Module):
                 channels=4,
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
-                dtype=self.dtype,
+                dtype=dtype,
                 name="aeT",
             )
             self.aeF = AutoEncoder1D(
@@ -99,7 +100,7 @@ class CascadedAE(nn.Module):
                 channels=4,
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
-                dtype=self.dtype,
+                dtype=dtype,
                 name="aeF",
             )
         self.khm = KHarmonicMeans(
@@ -112,12 +113,15 @@ class CascadedAE(nn.Module):
     def __call__(self, x: jnp.ndarray, uv: jnp.ndarray) -> CascadeOutputs:
         n, h, w, ch = x.shape
         _ = self.khm.M  # touch so init registers the centroids (losses read them directly)
+        f32 = lambda a: a.astype(x.dtype)  # loss math stays f32 even under bf16 compute
         x1, mu = self.ae2d(x, uv)
+        x1, mu = f32(x1), f32(mu)
         x11 = (x - x1) * 0.5
 
         if self.cfg.fourier_variant:
             yf_in = fft2_shifted(x11)
             yf_out, ymu = self.aef(yf_in, uv)
+            yf_out, ymu = f32(yf_out), f32(ymu)
             zero = jnp.zeros_like(x)
             return CascadeOutputs(
                 x1=x1, x11=x11, x2=zero, x3=zero, xrecon=x1,
@@ -129,11 +133,13 @@ class CascadedAE(nn.Module):
         # time-major vectorization: NHWC -> [N, H*W, C]
         iy1 = x11.reshape(n, h * w, ch)
         yyT, muT = self.aeT(iy1, uv)
+        yyT, muT = f32(yyT), f32(muT)
         x2 = yyT.reshape(n, h, w, ch)
 
         # freq-major vectorization: transpose spatial dims first
         iy2 = jnp.swapaxes(x11, 1, 2).reshape(n, w * h, ch)
         yyF, muF = self.aeF(iy2, uv)
+        yyF, muF = f32(yyF), f32(muF)
         x3 = jnp.swapaxes(yyF.reshape(n, w, h, ch), 1, 2)
 
         xrecon = x1 + x2 + x3

@@ -1,0 +1,52 @@
+"""bfloat16 compute-dtype path: params stay f32, outputs return f32, training step runs
+and produces finite losses close to the f32 path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lshm_tpu.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
+from lshm_tpu.models import CascadedAE
+from lshm_tpu.train import LossWeights, init_train_state, make_train_step
+
+
+def _cfg(dtype):
+    return Config(
+        data=DataConfig(batch_size=2, patch_size=128),
+        model=ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=4, rica=True,
+                          compute_dtype=dtype),
+        optim=OptimConfig(optimizer="adam", adam_lr=1e-3),
+        train=TrainConfig(admm_iters=1),
+    )
+
+
+def test_bf16_forward_close_to_f32_and_params_f32():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 4))
+    uv = jnp.ones((2, 2))
+
+    m32 = CascadedAE(cfg=_cfg("float32").model)
+    m16 = CascadedAE(cfg=_cfg("bfloat16").model)
+    params = m32.init(jax.random.PRNGKey(1), x, uv)
+    # same params work in both (compute dtype is activation-only)
+    out32 = m32.apply(params, x, uv)
+    out16 = m16.apply(params, x, uv)
+    for leaf in jax.tree.leaves(params):
+        assert leaf.dtype == jnp.float32
+    assert out16.xrecon.dtype == jnp.float32     # upcast at module boundary
+    # bf16 has ~3 decimal digits; outputs should agree coarsely
+    scale = float(jnp.abs(out32.xrecon).max())
+    diff = float(jnp.abs(out32.xrecon - out16.xrecon).max())
+    assert diff < 0.15 * scale + 0.1, (diff, scale)
+
+
+def test_bf16_train_step_finite():
+    cfg = _cfg("bfloat16")
+    model = CascadedAE(cfg=cfg.model)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 128, 4))
+    uv = jnp.repeat(jax.random.normal(jax.random.PRNGKey(3), (1, 2)), 4, axis=0)
+    state, tx = init_train_state(model, cfg, jax.random.PRNGKey(4), x, uv)
+    step = make_train_step(model, tx, cfg, num_groups=1, donate=False)
+    state, metrics = step(state, x, uv, LossWeights())
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
