@@ -23,6 +23,7 @@ import tempfile
 import types
 
 REF = "/root/reference/src"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _stub_torchvision():
@@ -89,6 +90,21 @@ def main(iters: int = 30, seed: int = 0):
                     + 0.01 * mod.clustering_error(Mu) + 0.01 * mod.cluster_similarity())
             loss.backward()
             opt.step()
+
+        # spread centroids onto actual latents from distinct baselines (k-means-style
+        # init) so the assignment vector is non-trivial and NMI is a meaningful test
+        with torch.no_grad():
+            seeds = []
+            for nb in range(Kc):
+                _, _, patches, uvp = read_baseline_patches(h5, "0", nb, 128, 4, uvdist=True)
+                x = torch.from_numpy(patches.transpose(0, 3, 1, 2).copy())
+                uvt = torch.from_numpy(uvp.copy())
+                x1, mu = net(x, uvt)
+                x11 = (x - x1) / 2
+                _, muT = netT(torch.flatten(x11, 2, 3), uvt)
+                _, muF = netF(torch.flatten(torch.transpose(x11, 2, 3), 2, 3), uvt)
+                seeds.append(torch.cat((mu, muT, muF), 1)[0])
+            mod.M.copy_(torch.stack(seeds))
 
         # ---- 2. save + import ---------------------------------------------------------
         paths = {}
