@@ -77,7 +77,7 @@ def cmd_eval(args):
         t.model, t.params, files[idx], saps[idx],
         patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
         order=cfg.model.khm_order, num_hard_clusters=args.hard_clusters,
-        out_dir=args.out, montages=args.montages,
+        out_dir=args.out, montages=args.montages, recon_panels=args.recon_panels,
     )
     print(f"evaluated {res.X.shape[1]} baselines; "
           f"soft cluster histogram: {__import__('numpy').bincount(res.soft_assign).tolist()}")
@@ -149,6 +149,8 @@ def main(argv=None):
     p.add_argument("--sap-index", type=int, default=0)
     p.add_argument("--hard-clusters", type=int, default=10)
     p.add_argument("--montages", action="store_true")
+    p.add_argument("--recon-panels", action="store_true",
+                   help="per-baseline [x|xhat]/[x2|x3]/[xrec|xerr] pseudocolor panels")
     _add_set(p)
     p.set_defaults(fn=cmd_eval)
 

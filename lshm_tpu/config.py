@@ -152,6 +152,8 @@ class TrainConfig:
     mesh_shape: tuple[int, ...] = (1,)
     mesh_axes: tuple[str, ...] = ("data",)
     precision: str = "float32"        # compute dtype for conv/matmul inputs
+    remat: bool = False               # jax.checkpoint the cascade forward (trade FLOPs
+                                      # for HBM when patch batches grow large)
 
 
 @dataclass(frozen=True)

@@ -71,12 +71,24 @@ class MinibatchSampler:
         seed: int = 0,
         augment_fn: Callable[[np.random.Generator, np.ndarray], np.ndarray] | None = None,
         use_native: bool | None = None,
+        process_index: int | None = None,
     ):
+        """``process_index``: multi-host data parallelism — each host folds its process
+        id into the sampling stream so hosts draw disjoint random minibatches (the
+        per-host rng-split sampler of SURVEY.md §5).  Defaults to jax.process_index()
+        when more than one process is present."""
         assert len(file_list) == len(sap_list) and len(file_list) > 0
         self.file_list = file_list
         self.sap_list = sap_list
         self.cfg = cfg
-        self.rng = np.random.default_rng(seed)
+        if process_index is None:
+            try:
+                import jax
+
+                process_index = jax.process_index() if jax.process_count() > 1 else 0
+            except Exception:
+                process_index = 0
+        self.rng = np.random.default_rng([seed, process_index])
         self.augment_fn = augment_fn or default_augment
         # cache metadata so baseline sampling doesn't reopen files
         self._meta = [read_metadata(f, s) for f, s in zip(file_list, sap_list)]

@@ -3,6 +3,13 @@ from lshm_tpu.eval.clustering import (
     baseline_distance_matrix,
     evaluate_sap,
     nmi,
+    save_recon_panels,
 )
 
-__all__ = ["EvalResult", "baseline_distance_matrix", "evaluate_sap", "nmi"]
+__all__ = [
+    "EvalResult",
+    "baseline_distance_matrix",
+    "evaluate_sap",
+    "nmi",
+    "save_recon_panels",
+]

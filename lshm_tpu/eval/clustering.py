@@ -102,6 +102,7 @@ def evaluate_sap(
     out_dir: str | None = None,
     run_tsne: bool = True,
     montages: bool = False,
+    recon_panels: bool = False,
     tsne_seed: int = 99,
 ) -> EvalResult:
     """Full evaluation of one SAP (reference: src/evaluate_clustering.py:65-163):
@@ -142,6 +143,9 @@ def evaluate_sap(
         if montages:
             _save_montages(filename, sap, labels if labels is not None else soft,
                            num_channels, out_dir)
+        if recon_panels:
+            save_recon_panels(model, params, filename, sap, range(nbase), out_dir,
+                              patch_size, num_channels)
 
     return EvalResult(X=X, soft_assign=soft, labels=labels, embedding=embedding,
                       mean_latents=latents)
@@ -162,6 +166,35 @@ def _plot_scatter(embedding, soft, labels, out_dir):
         fig.colorbar(sc)
         fig.savefig(os.path.join(out_dir, f"{name}.png"), dpi=100)
         plt.close(fig)
+
+
+def save_recon_panels(
+    model, params, filename: str, sap: str, baseline_ids, out_dir: str,
+    patch_size: int = 128, num_channels: int = 4,
+) -> None:
+    """Per-baseline reconstruction panels: [x | xhat2D] / [x2_T | x3_F] / [xrec | xerr]
+    pseudocolor grid, one PNG per baseline (reference: src/evaluate_clustering.py:92-107)."""
+    import jax.numpy as jnp
+
+    from lshm_tpu.data.h5io import read_baseline_patches
+    from lshm_tpu.utils.rgb import channel_to_rgb, save_image_grid
+
+    os.makedirs(out_dir, exist_ok=True)
+    for nb in baseline_ids:
+        _, _, patches, uv = read_baseline_patches(
+            filename, sap, nb, patch_size, num_channels, uvdist=True
+        )
+        out = model.apply(params, jnp.asarray(patches[:1]), jnp.asarray(uv[:1]))
+        x = patches[0]
+        panels = [
+            channel_to_rgb(x[..., :4]),
+            channel_to_rgb(np.asarray(out.x1)[0][..., :4]),
+            channel_to_rgb(np.asarray(out.x2)[0][..., :4]),
+            channel_to_rgb(np.asarray(out.x3)[0][..., :4]),
+            channel_to_rgb(np.asarray(out.xrecon)[0][..., :4]),
+            channel_to_rgb(x[..., :4] - np.asarray(out.xrecon)[0][..., :4]),
+        ]
+        save_image_grid(panels, os.path.join(out_dir, f"xx_{nb}.png"), ncol=2)
 
 
 def _save_montages(filename, sap, labels, num_channels, out_dir):

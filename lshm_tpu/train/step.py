@@ -79,6 +79,9 @@ def make_train_step(
             use_rica=use_rica, khm_order=khm_order, khm_backend=khm_backend,
         )
 
+    if cfg.train.remat:  # rematerialize the forward in the backward pass (HBM relief)
+        objective = jax.checkpoint(objective)
+
     grad_fn = jax.value_and_grad(objective, has_aux=True)
 
     def train_step(state: TrainState, x: jnp.ndarray, uv: jnp.ndarray, w: LossWeights):
@@ -163,6 +166,9 @@ def make_lbfgs_train_step(
             model, params, x, uv, duals, w, num_groups,
             use_rica=use_rica, khm_order=khm_order, khm_backend=khm_backend,
         )
+
+    if cfg.train.remat:  # rematerialize the forward in the backward pass (HBM relief)
+        objective = jax.checkpoint(objective)
 
     # flat {0,1} mask for the active group: ravel a pytree of ones/zeros per leaf
     def flat_group_mask(sample_flat: jnp.ndarray) -> jnp.ndarray:

@@ -67,3 +67,12 @@ def test_nmi():
     assert nmi(a, perm) == 1.0
     rnd = np.array([0, 1, 0, 1, 0, 1])
     assert nmi(a, rnd) < 0.6
+
+
+def test_save_recon_panels(small_model, synth_h5, tmp_path):
+    from lshm_tpu.eval import save_recon_panels
+
+    model, params = small_model
+    save_recon_panels(model, params, synth_h5, "0", [0, 1], str(tmp_path / "panels"))
+    assert (tmp_path / "panels" / "xx_0.png").exists()
+    assert (tmp_path / "panels" / "xx_1.png").exists()

@@ -147,3 +147,21 @@ def test_ramp_schedule():
     sched = ("ae2d", "ae1d", "khm")
     assert [active_group(sched, e) for e in range(4)] == ["ae2d", "ae1d", "khm", "ae2d"]
     assert active_group((), 5) == "all"
+
+
+def test_remat_step_matches(setup):
+    """remat=True must not change results, only memory/FLOPs trade-off."""
+    import dataclasses
+
+    from lshm_tpu.config import TrainConfig
+
+    cfg, model, x, uv, state, tx = setup
+    cfg_r = cfg.replace(train=dataclasses.replace(cfg.train, remat=True))
+    step = make_train_step(model, tx, cfg, num_groups=2, donate=False)
+    step_r = make_train_step(model, tx, cfg_r, num_groups=2, donate=False)
+    w = LossWeights()
+    s1, m1 = step(state, x, uv, w)
+    s2, m2 = step_r(state, x, uv, w)
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-5
+    )
