@@ -67,14 +67,73 @@ def measure_ours() -> dict:
     }
 
 
+def measure_ours_lbfgs() -> dict:
+    """Secondary metric: the stochastic L-BFGS ADMM step (on-device line searches),
+    same unit of work as the reference's LBFGSNew mode."""
+    from lshm_tpu.config import (
+        Config, DataConfig, LBFGSConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from lshm_tpu.models import CascadedAE
+    from lshm_tpu.train import LossWeights, init_lbfgs_train_state, make_lbfgs_train_step
+
+    cfg = Config(
+        data=DataConfig(batch_size=NBASELINES, patch_size=128),
+        model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
+                          khm_backend="auto"),
+        optim=OptimConfig(
+            optimizer="lbfgs",
+            lbfgs=LBFGSConfig(history_size=7, max_iter=4, line_search=True,
+                              batch_mode=True),
+        ),
+        train=TrainConfig(admm_iters=NADMM),
+    )
+    model = CascadedAE(cfg=cfg.model)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (BATCH_PATCHES, 128, 128, 4), jnp.float32)
+    uv = jnp.repeat(
+        jax.random.normal(jax.random.fold_in(key, 1), (NBASELINES, 2)),
+        BATCH_PATCHES // NBASELINES, axis=0,
+    )
+    state, unravel = init_lbfgs_train_state(model, cfg, jax.random.fold_in(key, 2), x, uv)
+    step = make_lbfgs_train_step(model, unravel, cfg, num_groups=NBASELINES, donate=True)
+    w = LossWeights()
+    state, metrics = step(state, x, uv, w)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    steps = 3
+    for _ in range(steps):
+        state, metrics = step(state, x, uv, w)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / (steps * NADMM)
+    return {
+        "lbfgs_patches_per_sec": BATCH_PATCHES / dt,
+        "lbfgs_sec_per_admm_iter": dt,
+        "lbfgs_func_evals": int(state.opt_state.func_evals),
+    }
+
+
 def main():
     ours = measure_ours()
+    skip_lbfgs = os.environ.get("LSHM_BENCH_SKIP_LBFGS")
+    if not skip_lbfgs:
+        try:
+            ours.update(measure_ours_lbfgs())
+        except Exception as e:  # never let the secondary metric kill the headline
+            ours["lbfgs_error"] = repr(e)
     vs = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             ref = json.load(f)
         if ref.get("patches_per_sec"):
             vs = ours["patches_per_sec"] / ref["patches_per_sec"]
+    lbfgs_ref_path = BASELINE_PATH.replace(".json", "_lbfgs.json")
+    if os.path.exists(lbfgs_ref_path) and ours.get("lbfgs_patches_per_sec"):
+        with open(lbfgs_ref_path) as f:
+            lref = json.load(f)
+        if lref.get("patches_per_sec"):
+            ours["lbfgs_vs_baseline"] = round(
+                ours["lbfgs_patches_per_sec"] / lref["patches_per_sec"], 2
+            )
     print(json.dumps({
         "metric": "ae_khm_train_patches_per_sec_per_chip",
         "value": round(ours["patches_per_sec"], 2),

@@ -35,7 +35,11 @@ def _stub_torchvision():
     sys.modules["torchvision.utils"] = tv.utils
 
 
-def measure(batch_patches: int = 48, iters: int = 3, nbaselines: int = 12) -> dict:
+def measure(batch_patches: int = 48, iters: int = 3, nbaselines: int = 12,
+            optimizer: str = "adam") -> dict:
+    """``optimizer``: "adam" (one closure per ADMM iter) or "lbfgs" (the reference's
+    LBFGSNew with Armijo line search, batch mode — many closure evals per step;
+    reference: src/kharmonic_lofar.py:93)."""
     import torch
 
     torch.manual_seed(0)
@@ -55,7 +59,13 @@ def measure(batch_patches: int = 48, iters: int = 3, nbaselines: int = 12) -> di
     mod = ref_models.Kmeans(latent_dim=L + 2 * Lt, K=Kc, p=Khp)
 
     params = list(net.parameters()) + list(netT.parameters()) + list(netF.parameters()) + list(mod.parameters())
-    opt = torch.optim.Adam(params, lr=1e-4)
+    if optimizer == "adam":
+        opt = torch.optim.Adam(params, lr=1e-4)
+    else:
+        from lbfgsnew import LBFGSNew  # reference optimizer, read-only
+
+        opt = LBFGSNew(params, history_size=7, max_iter=4,
+                       line_search_fn=True, batch_mode=True)
     criterion = torch.nn.MSELoss(reduction="sum")
 
     ppb = batch_patches // nbaselines
@@ -77,8 +87,9 @@ def measure(batch_patches: int = 48, iters: int = 3, nbaselines: int = 12) -> di
             total = total + torch.exp(-G[iu[0], iu[1]]).sum() / ppb
         return total / (nbaselines * ppb)
 
-    def one_admm_iter():
-        opt.zero_grad()
+    def closure():
+        if torch.is_grad_enabled():
+            opt.zero_grad()
         x1, mu = net(x, uv)
         x11 = (x - x1) / 2
         yyT, muT = netT(torch.flatten(x11, 2, 3), uv)
@@ -101,8 +112,16 @@ def measure(batch_patches: int = 48, iters: int = 3, nbaselines: int = 12) -> di
             + torch.log(torch.cosh(muF)).sum() / muF.numel()
         )
         loss = loss0 + loss1 + loss2 + loss3 + kdist + sim + aug + rica
-        loss.backward()
-        opt.step()
+        if loss.requires_grad:
+            loss.backward()
+        return loss
+
+    def one_admm_iter():
+        if optimizer == "adam":
+            loss = closure()
+            opt.step()
+        else:
+            loss = opt.step(closure)
         # dual update (no-grad forward)
         with torch.no_grad():
             x1, _ = net(x, uv)
@@ -126,6 +145,7 @@ def measure(batch_patches: int = 48, iters: int = 3, nbaselines: int = 12) -> di
         "patches_per_sec": batch_patches / dt,
         "sec_per_admm_iter": dt,
         "batch_patches": batch_patches,
+        "optimizer": optimizer,
         "hardware": "cpu" + (f"-{os.cpu_count()}core" if os.cpu_count() else ""),
         "torch_version": __import__("torch").__version__,
         "framework": "pytorch-reference",
@@ -136,11 +156,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument(
-        "--out", default=os.path.join(os.path.dirname(__file__), "reference_baseline.json")
-    )
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "lbfgs"])
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    result = measure(args.batch, args.iters)
-    with open(args.out, "w") as f:
+    out = args.out or os.path.join(
+        os.path.dirname(__file__),
+        "reference_baseline.json" if args.optimizer == "adam"
+        else "reference_baseline_lbfgs.json",
+    )
+    result = measure(args.batch, args.iters, optimizer=args.optimizer)
+    with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

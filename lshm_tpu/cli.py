@@ -60,8 +60,6 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
-    import jax
-
     from lshm_tpu.eval import evaluate_sap
     from lshm_tpu.data import scan_files
     from lshm_tpu.train.trainer import Trainer

@@ -46,6 +46,7 @@ class ModelConfig:
 
     latent_dim: int = 224             # L: 2D AE latent
     latent_dim_1d: int = 16           # Lt: 1D AE latents (time & freq axes)
+    num_channels: int = 4             # input channels: 4 (XX,YY re/im) or 8 (all pols)
     num_clusters: int = 10            # Kc
     khm_order: int = 4                # Khp: p in 1/||.||^p
     harmonic_scales: tuple[float, ...] = (1e-4, 1e-3, 1e-2, 1e-1)
@@ -163,6 +164,12 @@ class Config:
     loss: LossConfig = field(default_factory=LossConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
+
+    def __post_init__(self):
+        assert self.data.num_channels == self.model.num_channels, (
+            "data.num_channels and model.num_channels must agree "
+            f"({self.data.num_channels} != {self.model.num_channels})"
+        )
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

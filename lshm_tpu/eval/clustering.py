@@ -11,7 +11,7 @@ agglomerative pass (sklearn) stay on host.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -134,9 +134,13 @@ def evaluate_sap(
         from scipy.io import savemat
 
         savemat(os.path.join(out_dir, "X.mat"), {"X": X})
-        savemat(
-            os.path.join(out_dir, "M.mat"),
-            {"M": np.asarray(params["params"]["khm"]["M"])},
+        M = np.asarray(params["params"]["khm"]["M"])
+        savemat(os.path.join(out_dir, "M.mat"), {"M": M})
+        # centroid matrix as a grayscale image (reference: evaluate_clustering.py:61)
+        from lshm_tpu.utils.rgb import save_image_grid
+
+        save_image_grid(
+            [np.repeat(M[..., None], 3, axis=-1)], os.path.join(out_dir, "M.png")
         )
         if embedding is not None:
             _plot_scatter(embedding, soft, labels, out_dir)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from lshm_tpu.graph.build import conjugate_channels, line_graph_edges, station_graph_maps
+from lshm_tpu.graph.build import conjugate_channels, line_graph_edges
 from lshm_tpu.graph.gnn import LineGraphNet, StationGraphNet
 
 
@@ -81,7 +81,6 @@ def build_station_graph_data(
     features from cross-correlations in both directions (reverse = conjugate; reference:
     src/train_graph_stat.py:161-258).  One random patch per baseline, as the reference."""
     from lshm_tpu.data.h5io import read_baseline_patches, read_metadata
-    from lshm_tpu.losses import pairwise_sq_dists
 
     rng = rng or np.random.default_rng(0)
     baselines, _ = read_metadata(filename, sap, give_baselines=True)

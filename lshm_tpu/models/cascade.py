@@ -22,8 +22,6 @@ config (`ModelConfig.fourier_variant`).
 from __future__ import annotations
 
 from dataclasses import field
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
@@ -69,9 +67,10 @@ class CascadedAE(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else self.dtype
+        ch = c.num_channels
         self.ae2d = AutoEncoder2D(
             latent_dim=c.latent_dim,
-            channels=4 if c.fourier_variant else 4,
+            channels=ch,
             harmonic_scales=c.harmonic_scales,
             rica=c.rica,
             dtype=dtype,
@@ -80,7 +79,7 @@ class CascadedAE(nn.Module):
         if c.fourier_variant:
             self.aef = AutoEncoder2D(
                 latent_dim=c.latent_dim_fourier,
-                channels=8,                       # 2C for C=4: real+imag stacked
+                channels=2 * ch,                  # real+imag stacked FFT channels
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
                 dtype=dtype,
@@ -89,7 +88,7 @@ class CascadedAE(nn.Module):
         else:
             self.aeT = AutoEncoder1D(
                 latent_dim=c.latent_dim_1d,
-                channels=4,
+                channels=ch,
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
                 dtype=dtype,
@@ -97,7 +96,7 @@ class CascadedAE(nn.Module):
             )
             self.aeF = AutoEncoder1D(
                 latent_dim=c.latent_dim_1d,
-                channels=4,
+                channels=ch,
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
                 dtype=dtype,

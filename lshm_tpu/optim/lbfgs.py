@@ -258,46 +258,53 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr):
             # condition 1: bracket [alphai1, alphai]
             c1 = (phi_i > phi_0 + alphai * gphi_0) | ((ci > 1) & (phi_i >= phi_prev))
 
-            def do_zoom1(_):
-                return _linesearch_zoom(
-                    value_fn, x, d, alphai1, alphai, phi_0, gphi_0, step, cfg
+            def early(_):
+                """c0 or c1 hit: no derivative probe needed; zoom only for c1."""
+                alphak_new = jax.lax.cond(
+                    c0,
+                    lambda _: alphai,
+                    lambda _: _linesearch_zoom(
+                        value_fn, x, d, alphai1, alphai, phi_0, gphi_0, step, cfg
+                    ),
+                    None,
                 )
+                return alphak_new, alphai, alphai1, True
 
-            gphi_i = (phi(alphai + step) - phi(alphai - step)) / (2.0 * step)
-            c2 = jnp.abs(gphi_i) <= -sigma * gphi_0
-            c3 = gphi_i >= 0.0
+            def late(_):
+                gphi_i = (phi(alphai + step) - phi(alphai - step)) / (2.0 * step)
+                c2 = jnp.abs(gphi_i) <= -sigma * gphi_0
+                c3 = gphi_i >= 0.0
 
-            def do_zoom3(_):
-                return _linesearch_zoom(
-                    value_fn, x, d, alphai, alphai1, phi_0, gphi_0, step, cfg
-                )
+                def stop23(_):
+                    ak = jax.lax.cond(
+                        c2,
+                        lambda _: alphai,
+                        lambda _: _linesearch_zoom(
+                            value_fn, x, d, alphai, alphai1, phi_0, gphi_0, step, cfg
+                        ),
+                        None,
+                    )
+                    return ak, alphai, alphai1, True
 
-            # next interval (reference :294-301)
-            use_mu = mu <= (2.0 * alphai - alphai1)
-            interp_lo = 2.0 * alphai - alphai1
-            interp_hi = jnp.minimum(mu, alphai + t1 * (alphai - alphai1))
-            alphai_interp = _cubic_min(value_fn, x, d, interp_lo, interp_hi, step)
-            alphai_next = jnp.where(use_mu, mu, alphai_interp)
-            alphai1_next = jnp.where(use_mu, alphai, alphai1)
+                def advance(_):
+                    # next interval (reference :294-301)
+                    use_mu = mu <= (2.0 * alphai - alphai1)
 
-            stop = c0 | c1 | c2 | c3
-            alphak_new = jnp.where(
-                c0,
-                alphai,
-                jnp.where(
-                    c1,
-                    do_zoom1(None),
-                    jnp.where(c2, alphai, jnp.where(c3, do_zoom3(None), alphak)),
-                ),
+                    def interp(_):
+                        lo = 2.0 * alphai - alphai1
+                        hi = jnp.minimum(mu, alphai + t1 * (alphai - alphai1))
+                        return _cubic_min(value_fn, x, d, lo, hi, step)
+
+                    ai_next = jax.lax.cond(use_mu, lambda _: mu, interp, None)
+                    ai1_next = jnp.where(use_mu, alphai, alphai1)
+                    return alphak, ai_next, ai1_next, False
+
+                return jax.lax.cond(c2 | c3, stop23, advance, None)
+
+            alphak_new, alphai_next, alphai1_next, stop = jax.lax.cond(
+                c0 | c1, early, late, None
             )
-            return (
-                ci + 1,
-                jnp.where(stop, alphai, alphai_next),
-                jnp.where(stop, alphai1, alphai1_next),
-                phi_i,
-                jnp.where(stop, alphak_new, alphak),
-                stop,
-            )
+            return (ci + 1, alphai_next, alphai1_next, phi_i, alphak_new, stop)
 
         init = (1, alpha1, 0.0, phi_0, jnp.asarray(lr, x.dtype), False)
         _, _, _, _, alphak, done = jax.lax.while_loop(cond, body, init)

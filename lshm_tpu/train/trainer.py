@@ -9,7 +9,6 @@ metric logging, and unified orbax checkpointing with exact resume.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Callable
 
@@ -186,7 +185,8 @@ class Trainer:
 
         if self._params is None:
             # build a template from a dummy init
-            x = jnp.zeros((1, self.cfg.data.patch_size, self.cfg.data.patch_size, 4))
+            ps = self.cfg.data.patch_size
+            x = jnp.zeros((1, ps, ps, self.cfg.model.num_channels))
             uv = jnp.zeros((1, 2))
             self._params = self.model.init(jax.random.PRNGKey(0), x, uv)
         restored, _ = restore_checkpoint(ckpt_dir, {"params": self._params}, step)

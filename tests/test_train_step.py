@@ -165,3 +165,29 @@ def test_remat_step_matches(setup):
     np.testing.assert_allclose(
         np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-5
     )
+
+
+def test_8channel_cascade():
+    """Full 8-channel (all four polarizations) mode end-to-end."""
+    cfg = Config(
+        data=DataConfig(batch_size=1, patch_size=128, num_channels=8),
+        model=ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=3,
+                          num_channels=8, rica=True),
+        optim=OptimConfig(optimizer="adam", adam_lr=1e-3),
+        train=TrainConfig(admm_iters=1),
+    )
+    model = CascadedAE(cfg=cfg.model)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 128, 128, 8))
+    uv = jnp.repeat(jax.random.normal(jax.random.PRNGKey(1), (1, 2)), 4, axis=0)
+    state, tx = init_train_state(model, cfg, jax.random.PRNGKey(2), x, uv)
+    step = make_train_step(model, tx, cfg, num_groups=1, donate=False)
+    state, metrics = step(state, x, uv, LossWeights())
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+
+
+def test_config_channel_mismatch_rejected():
+    with pytest.raises(AssertionError):
+        Config(
+            data=DataConfig(num_channels=8),
+            model=ModelConfig(num_channels=4),
+        )
