@@ -155,6 +155,9 @@ class TrainConfig:
     precision: str = "float32"        # compute dtype for conv/matmul inputs
     remat: bool = False               # jax.checkpoint the cascade forward (trade FLOPs
                                       # for HBM when patch batches grow large)
+    skip_nonfinite: bool = True       # drop minibatches whose step produced NaN/Inf loss
+                                      # (keep previous state) — the explicit version of
+                                      # the reference's scattered NaN tolerance
 
 
 @dataclass(frozen=True)

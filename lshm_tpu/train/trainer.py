@@ -153,8 +153,16 @@ class Trainer:
                 uv = jnp.asarray(mb.uv)
                 self._ensure_state(kind, group, x, uv)
                 step = self._get_step(kind, group, mb.num_baselines)
+                prev_state = self._state if cfg.train.skip_nonfinite else None
                 with jax.profiler.StepTraceAnnotation("train_step", step_num=it):
                     self._state, metrics = step(self._state, x, uv, w)
+                if cfg.train.skip_nonfinite and not np.isfinite(
+                    float(np.asarray(metrics["loss"])[-1])
+                ):
+                    self._state = prev_state   # drop the poisoned minibatch
+                    print(f"warning: non-finite loss at epoch {epoch} iter {it}; "
+                          "minibatch skipped")
+                    continue
                 if (it % max(cfg.train.log_every, 1)) == 0:
                     self.logger.log_step(epoch, it, metrics, patches=x.shape[0])
             if profiling:

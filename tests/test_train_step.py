@@ -191,3 +191,20 @@ def test_config_channel_mismatch_rejected():
             data=DataConfig(num_channels=8),
             model=ModelConfig(num_channels=4),
         )
+
+
+def test_sharded_step_contains_allreduce(setup):
+    """GSPMD must turn the batch-reduced losses into cross-device all-reduces."""
+    from lshm_tpu.train.parallel import (
+        batch_sharding, replicated, shard_batch, train_step_sharded,
+    )
+
+    cfg, model, x, uv, state, tx = setup
+    mesh = make_mesh((8,), ("data",))
+    raw = make_train_step(model, tx, cfg, num_groups=2, donate=False, jit=False)
+    step = train_step_sharded(raw, mesh, donate=False)
+    xs, uvs = shard_batch(mesh, x, uv)
+    st = replicate_state(mesh, state)
+    w = replicate_state(mesh, LossWeights())
+    hlo = step.lower(st, xs, uvs, w).compile().as_text()
+    assert "all-reduce" in hlo, "expected cross-device gradient reduction"
