@@ -38,11 +38,17 @@ from lshm_tpu.config import LBFGSConfig
 
 class LBFGSState(struct.PyTreeNode):
     """Persistent optimizer state (survives across minibatch steps, like the reference's
-    optimizer ``state`` dict; reference: src/lbfgsnew.py:743-756)."""
+    optimizer ``state`` dict; reference: src/lbfgsnew.py:743-756).
 
-    s_hist: jnp.ndarray          # [m, n] recent steps s_i = t * d
-    y_hist: jnp.ndarray          # [m, n] recent gradient differences
-    hist_count: jnp.ndarray      # [] int32 number of valid pairs (newest at index m-1)
+    The history is a pointer-based circular buffer: pushes write ONE [n] row via
+    dynamic_update_slice instead of shifting the whole [m, n] block, and no [m, n]
+    buffer ever flows through a lax.cond join (those cost ~100 MB of copies per
+    iteration at reference scale)."""
+
+    s_hist: jnp.ndarray          # [m, n] recent steps s_i = t * d (circular)
+    y_hist: jnp.ndarray          # [m, n] recent gradient differences (circular)
+    hist_ptr: jnp.ndarray        # [] int32 next write slot
+    hist_count: jnp.ndarray      # [] int32 number of valid pairs
     H_diag: jnp.ndarray          # [] initial inverse-Hessian scale
     prev_flat_grad: jnp.ndarray  # [n]
     prev_loss: jnp.ndarray       # []
@@ -60,6 +66,7 @@ def lbfgs_init(n: int, cfg: LBFGSConfig, dtype=jnp.float32) -> LBFGSState:
     return LBFGSState(
         s_hist=jnp.zeros((m, n), dtype),
         y_hist=jnp.zeros((m, n), dtype),
+        hist_ptr=jnp.zeros((), jnp.int32),
         hist_count=jnp.zeros((), jnp.int32),
         H_diag=jnp.ones((), dtype),
         prev_flat_grad=jnp.zeros((n,), dtype),
@@ -74,39 +81,50 @@ def lbfgs_init(n: int, cfg: LBFGSConfig, dtype=jnp.float32) -> LBFGSState:
     )
 
 
-def _push_history(state: LBFGSState, s: jnp.ndarray, y: jnp.ndarray) -> LBFGSState:
-    """Shift the circular history left and append (s, y) at the end."""
+def _push_history(
+    state: LBFGSState, s: jnp.ndarray, y: jnp.ndarray, accept: jnp.ndarray
+) -> LBFGSState:
+    """Conditionally write (s, y) at the circular pointer — one [n]-row write either way,
+    never a full-buffer shift or a big cond-join copy."""
+    ptr = state.hist_ptr
+    write_s = jnp.where(accept, s, jax.lax.dynamic_slice_in_dim(state.s_hist, ptr, 1)[0])
+    write_y = jnp.where(accept, y, jax.lax.dynamic_slice_in_dim(state.y_hist, ptr, 1)[0])
+    m = state.s_hist.shape[0]
     return state.replace(
-        s_hist=jnp.concatenate([state.s_hist[1:], s[None]], axis=0),
-        y_hist=jnp.concatenate([state.y_hist[1:], y[None]], axis=0),
-        hist_count=jnp.minimum(state.hist_count + 1, state.s_hist.shape[0]),
+        s_hist=jax.lax.dynamic_update_slice_in_dim(state.s_hist, write_s[None], ptr, 0),
+        y_hist=jax.lax.dynamic_update_slice_in_dim(state.y_hist, write_y[None], ptr, 0),
+        hist_ptr=jnp.where(accept, (ptr + 1) % m, ptr),
+        hist_count=jnp.where(
+            accept, jnp.minimum(state.hist_count + 1, m), state.hist_count
+        ),
     )
 
 
-def _two_loop(g, s_hist, y_hist, hist_count, H_diag):
-    """L-BFGS two-loop recursion with a masked fixed-size history
-    (reference: src/lbfgsnew.py:637-651).  Newest pair is at index m-1."""
+def _two_loop(g, s_hist, y_hist, hist_ptr, hist_count, H_diag):
+    """L-BFGS two-loop recursion over the masked circular history
+    (reference: src/lbfgsnew.py:637-651).  Newest pair is at (ptr - 1) % m."""
     m = s_hist.shape[0]
     rho = 1.0 / jnp.einsum("in,in->i", y_hist, s_hist)      # [m]; masked below
-    valid = (jnp.arange(m) >= (m - hist_count))             # [m] bool
 
-    def bwd(i, carry):
-        q, al = carry
-        idx = m - 1 - i                                     # newest -> oldest
-        a_i = rho[idx] * jnp.dot(s_hist[idx], q)
-        a_i = jnp.where(valid[idx], a_i, 0.0)
-        q = q - a_i * jnp.where(valid[idx], 1.0, 0.0) * y_hist[idx]
-        return q, al.at[idx].set(a_i)
-
-    q, al = jax.lax.fori_loop(0, m, bwd, (-g, jnp.zeros((m,), g.dtype)))
+    # m is small and static: unroll both passes to straight-line code (a fori_loop here
+    # costs a device loop round per history slot). Indices stay dynamic via gather rows.
+    q = -g
+    al = []
+    for i in range(m):                                      # newest -> oldest
+        idx = (hist_ptr - 1 - i) % m
+        valid = i < hist_count
+        s_i = s_hist[idx]
+        a_i = jnp.where(valid, rho[idx] * jnp.dot(s_i, q), 0.0)
+        q = q - a_i * y_hist[idx]
+        al.append((idx, a_i))
     r = q * H_diag
-
-    def fwd(i, r):
-        be = rho[i] * jnp.dot(y_hist[i], r)
-        be = jnp.where(valid[i], be, 0.0)
-        return r + jnp.where(valid[i], 1.0, 0.0) * (al[i] - be) * s_hist[i]
-
-    return jax.lax.fori_loop(0, m, fwd, r)
+    for i in range(m - 1, -1, -1):                          # oldest -> newest
+        idx, a_i = al[i]
+        valid = i < hist_count
+        be = jnp.where(valid, rho[idx] * jnp.dot(y_hist[idx], r), 0.0)
+        coef = jnp.where(valid, a_i - be, 0.0)
+        r = r + coef * s_hist[idx]
+    return r
 
 
 # ----------------------------------------------------------------------------------
@@ -363,60 +381,54 @@ def make_lbfgs_step(
             first_global = gi == 1
 
             # ---- direction -----------------------------------------------------
-            def first_dir(state):
-                return -g, state.replace(
-                    hist_count=jnp.zeros((), jnp.int32),
-                    H_diag=jnp.ones((), x.dtype),
-                    running_avg=jnp.zeros_like(g),
-                    running_avg_sq=jnp.zeros_like(g),
-                )
-
-            def update_dir(state):
-                y = g - state.prev_flat_grad
-                s = state.d * state.t
-                if cfg.batch_mode:
-                    y = y + lm0 * s                     # trust region (reference :586)
-                ys = jnp.dot(y, s)
-                sn2 = jnp.dot(s, s)
-                batch_changed = jnp.asarray(
-                    cfg.batch_mode and True, bool
-                ) & (n_iter == 1) & (gi > 1)
-
-                # online inter-batch gradient statistics (reference :592-607)
-                def stats(state):
-                    g_old = g - state.running_avg
-                    running_avg = state.running_avg + g_old / gi.astype(x.dtype)
-                    g_new = g - running_avg
-                    running_avg_sq = state.running_avg_sq + g_new * g_old
-                    alphabar = 1.0 / (
-                        1.0
-                        + jnp.sum(running_avg_sq)
-                        / ((gi - 1).astype(x.dtype) * grad_nrm)
-                    )
-                    return state.replace(
-                        running_avg=running_avg,
-                        running_avg_sq=running_avg_sq,
-                        alphabar=alphabar,
-                    )
-
-                state = jax.lax.cond(batch_changed, stats, lambda s: s, state)
-
-                accept = (ys > 1e-10 * sn2) & (~batch_changed)
-
-                def push(state):
-                    st = _push_history(state, s, y)
-                    return st.replace(H_diag=ys / jnp.dot(y, y))
-
-                state = jax.lax.cond(accept, push, lambda s: s, state)
-                d = _two_loop(
-                    g, state.s_hist, state.y_hist, state.hist_count, state.H_diag
-                )
-                return d, state
-
-            d, state = jax.lax.cond(first_global, first_dir, update_dir, state)
-            state = state.replace(
-                prev_flat_grad=g, prev_loss=loss, d=d
+            # No lax.cond carries any [m, n] or [n] buffer here: every branch decision
+            # is a cheap always-compute + jnp.where select, so the while-loop body costs
+            # O(one history row) of memory traffic per iteration.
+            y = g - state.prev_flat_grad
+            s = state.d * state.t
+            if cfg.batch_mode:
+                y = y + lm0 * s                         # trust region (reference :586)
+            ys = jnp.dot(y, s)
+            sn2 = jnp.dot(s, s)
+            batch_changed = (
+                jnp.asarray(cfg.batch_mode, bool) & (n_iter == 1) & (gi > 1)
             )
+
+            # online inter-batch gradient statistics (reference :592-607); on the very
+            # first global iteration the running stats are zeros by construction
+            g_old = g - state.running_avg
+            running_avg_new = state.running_avg + g_old / gi.astype(x.dtype)
+            g_new = g - running_avg_new
+            running_avg_sq_new = state.running_avg_sq + g_new * g_old
+            alphabar_new = 1.0 / (
+                1.0
+                + jnp.sum(running_avg_sq_new)
+                / (jnp.maximum(gi - 1, 1).astype(x.dtype) * grad_nrm)
+            )
+            state = state.replace(
+                running_avg=jnp.where(batch_changed, running_avg_new, state.running_avg),
+                running_avg_sq=jnp.where(
+                    batch_changed, running_avg_sq_new, state.running_avg_sq
+                ),
+                alphabar=jnp.where(batch_changed, alphabar_new, state.alphabar),
+            )
+
+            accept = (ys > 1e-10 * sn2) & (~batch_changed) & (~first_global)
+            state = _push_history(state, s, y, accept)
+            state = state.replace(
+                H_diag=jnp.where(
+                    accept,
+                    ys / jnp.dot(y, y),
+                    jnp.where(first_global, jnp.ones((), x.dtype), state.H_diag),
+                ),
+                hist_count=jnp.where(first_global, 0, state.hist_count),
+            )
+            d_two = _two_loop(
+                g, state.s_hist, state.y_hist, state.hist_ptr, state.hist_count,
+                state.H_diag,
+            )
+            d = jnp.where(first_global, -g, d_two)
+            state = state.replace(prev_flat_grad=g, prev_loss=loss, d=d)
 
             # ---- step size -----------------------------------------------------
             t0 = jnp.where(
