@@ -25,7 +25,8 @@ BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "reference
 BATCH_PATCHES = 48        # 12 baselines x 4 patches (192x192 SAP -> 2x2 grid of 128-patches)
 NBASELINES = 12
 NADMM = 10                # reference inner-loop count (src/kharmonic_lofar.py:28)
-STEPS = 5
+STEPS = 20                # per timing repetition
+REPS = 3                  # repetitions; report the best (dispatch-jitter robust)
 
 
 def measure_ours() -> dict:
@@ -53,14 +54,18 @@ def measure_ours() -> dict:
 
     state, metrics = step(state, x, uv, w)           # compile + warmup
     jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, x, uv, w)
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / (STEPS * NADMM)   # sec per ADMM iter
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, metrics = step(state, x, uv, w)
+        jax.block_until_ready(metrics["loss"])
+        times.append((time.perf_counter() - t0) / (STEPS * NADMM))
+    dt = min(times)                                   # sec per ADMM iter
     return {
         "patches_per_sec": BATCH_PATCHES / dt,
         "sec_per_admm_iter": dt,
+        "all_reps_sec_per_admm_iter": times,
         "final_loss": float(metrics["loss"][-1]),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -200,7 +200,25 @@ def _apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
         elif isinstance(cur, float):
             val = float(raw)
         elif isinstance(cur, tuple):
-            val = tuple(type(cur[0])(v) for v in raw.split(",")) if raw else ()
+            if not raw:
+                val = ()
+            else:
+                # element type from the current value when non-empty; empty tuples
+                # (group_schedule, harmonic_scales overrides on fresh configs) parse as
+                # str unless every element looks numeric
+                if cur:
+                    elem_t = type(cur[0])
+                else:
+                    try:
+                        [float(v) for v in raw.split(",")]
+                        elem_t = float
+                    except ValueError:
+                        elem_t = str
+                if cur and not isinstance(cur[0], (str, int, float, bool)):
+                    raise ValueError(
+                        f"cannot override structured tuple field {path!r} from the CLI"
+                    )
+                val = tuple(elem_t(v) for v in raw.split(","))
         else:
             val = raw
         node = dataclasses.replace(node, **{keys[-1]: val})

@@ -88,6 +88,8 @@ class MinibatchSampler:
                 process_index = jax.process_index() if jax.process_count() > 1 else 0
             except Exception:
                 process_index = 0
+        self._seed = seed
+        self._process_index = process_index
         self.rng = np.random.default_rng([seed, process_index])
         self.augment_fn = augment_fn or default_augment
         # cache metadata so baseline sampling doesn't reopen files
@@ -99,6 +101,11 @@ class MinibatchSampler:
             self.use_native = native.available()
         else:
             self.use_native = use_native
+
+    def reseed(self, epoch: int) -> None:
+        """Deterministic per-epoch stream: resuming at an epoch boundary reproduces the
+        exact minibatch sequence of an uninterrupted run."""
+        self.rng = np.random.default_rng([self._seed, self._process_index, epoch])
 
     def sample(self) -> Minibatch:
         cfg = self.cfg
@@ -155,37 +162,60 @@ class MinibatchSampler:
             yield self.sample()
 
 
-def prefetch_to_device(
-    sampler: MinibatchSampler,
-    size: int = 2,
-    device_put: Callable | None = None,
-) -> Iterator[Minibatch]:
-    """Background-thread prefetcher: samples on host, optionally device_puts, and keeps a
-    bounded queue so device steps overlap with h5py reads."""
-    import jax
+class PrefetchIterator:
+    """Background-thread prefetcher: samples on host, device_puts, and keeps a bounded
+    queue so device steps overlap with h5py reads.  ``close()`` (or exhausting the
+    consumer with the context manager) reliably stops the producer — puts use timeouts
+    so the thread never blocks forever on a full queue after the consumer leaves."""
 
-    put = device_put or jax.device_put
-    q: queue.Queue = queue.Queue(maxsize=size)
-    stop = threading.Event()
+    def __init__(self, sampler: MinibatchSampler, size: int = 2,
+                 device_put: Callable | None = None):
+        import jax
 
-    def producer():
-        for mb in sampler:
-            if stop.is_set():
-                return
-            q.put(
-                Minibatch(
-                    x=put(mb.x),
-                    uv=put(mb.uv),
-                    patchx=mb.patchx,
-                    patchy=mb.patchy,
-                    num_baselines=mb.num_baselines,
-                )
+        self._put = device_put or jax.device_put
+        self._q: queue.Queue = queue.Queue(maxsize=max(size, 1))
+        self._stop = threading.Event()
+        self._sampler = sampler
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _producer(self):
+        while not self._stop.is_set():
+            mb = self._sampler.sample()
+            item = Minibatch(
+                x=self._put(mb.x), uv=self._put(mb.uv),
+                patchx=mb.patchx, patchy=mb.patchy, num_baselines=mb.num_baselines,
             )
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            yield q.get()
-    finally:
-        stop.set()
+    def __iter__(self) -> Iterator[Minibatch]:
+        return self
+
+    def __next__(self) -> Minibatch:
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:  # drain so a blocked put unblocks and device buffers free promptly
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def prefetch_to_device(
+    sampler: MinibatchSampler, size: int = 2, device_put: Callable | None = None
+) -> PrefetchIterator:
+    return PrefetchIterator(sampler, size, device_put)

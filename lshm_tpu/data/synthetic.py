@@ -67,10 +67,7 @@ def write_synthetic_h5(
         (i, j)
         for i in range(nstations)
         for j in range(i if include_autocorr else i + 1, nstations)
-        if include_autocorr or i < j
     ]
-    if include_autocorr:
-        pairs = [(i, j) for i in range(nstations) for j in range(i, nstations)]
     nbase = len(pairs)
     xyz = rng.uniform(-2000.0, 2000.0, size=(nstations, 3))
 

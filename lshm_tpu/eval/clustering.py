@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lshm_tpu.losses import pairwise_sq_dists
+from lshm_tpu.losses import khm_distances
 
 
 @dataclass
@@ -30,22 +30,16 @@ class EvalResult:
     mean_latents: np.ndarray      # [nbase, D] per-baseline mean latent (GNN node features)
 
 
-def _dist_stat(Mu: jnp.ndarray, M: jnp.ndarray, p: int) -> jnp.ndarray:
-    """mean_n ||Mu_n - m_k||^p over a baseline's patches -> [K]
-    (reference statistic: src/evaluate_clustering.py:111-115)."""
-    d2 = pairwise_sq_dists(Mu, M)
-    dp = d2 ** (p // 2) if p % 2 == 0 else jnp.sqrt(d2 + 1e-30) ** p
-    return jnp.mean(dp, axis=0)
-
-
 @partial(jax.jit, static_argnames=("model", "ppb", "order"))
 def _batched_features(model, params, x, uv, ppb: int, order: int):
-    """x [B*ppb, ps, ps, C] -> (dists [B, K], mean_latents [B, D]) for B baselines."""
+    """x [B*ppb, ps, ps, C] -> (dists [B, K], mean_latents [B, D]) for B baselines.
+    dists rows are the reference eval statistic mean_n ||Mu_n - m_k||^p
+    (reference: src/evaluate_clustering.py:111-115)."""
     out = model.apply(params, x, uv)
     D = out.Mu.shape[-1]
     Mu = out.Mu.reshape(-1, ppb, D)
     M = params["params"]["khm"]["M"]
-    dists = jax.vmap(lambda m: _dist_stat(m, M, order))(Mu)
+    dists = jax.vmap(lambda m: khm_distances(m, M, order))(Mu)
     return dists, jnp.mean(Mu, axis=1)
 
 

@@ -10,8 +10,8 @@ Current pipeline (reference: src/kharmonic_lofar.py:132-159):
 
 Legacy Fourier pipeline (reference: Demo.ipynb cells 6 & 10, src/EvaluateClusters.ipynb):
     x1, mu = AE2D(x, uv)
-    xf     = fftshift(fft2((x - x1)/2, norm="ortho"))
-    yf     = concat(Re xf, Im xf)  as 2C channels
+    xf     = fftshift(fft2(x - x1, norm="ortho"))       # FULL residual
+    yf     = clamp(concat(Re xf, Im xf), -10, 10)       # 2C channels, stability clamp
     yhat, ymu = AE2D_F(yf, uv)                  # second 2D AE in Fourier space
     Mu     = concat(mu, ymu)
 
@@ -118,7 +118,8 @@ class CascadedAE(nn.Module):
         x11 = (x - x1) * 0.5
 
         if self.cfg.fourier_variant:
-            yf_in = fft2_shifted(x11)
+            # full residual + the notebooks' stability clamp on the FFT features
+            yf_in = jnp.clip(fft2_shifted(x - x1), -10.0, 10.0)
             yf_out, ymu = self.aef(yf_in, uv)
             yf_out, ymu = f32(yf_out), f32(ymu)
             zero = jnp.zeros_like(x)

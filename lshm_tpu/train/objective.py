@@ -117,6 +117,62 @@ def cascade_objective(
     return total, metrics
 
 
+def metrics_and_dual_update(
+    model, params, x, uv, duals: Duals, w: LossWeights, num_groups: int,
+    use_rica: bool = True, khm_order: int = 4, khm_backend: str = "xla",
+) -> tuple[dict, Duals]:
+    """One shared post-step forward pass producing BOTH the per-term metrics (at the
+    post-step params, pre-update duals) and the Lagrange-dual update — the L-BFGS ADMM
+    path uses this instead of two separate model.apply calls."""
+    out = model.apply(params, x, uv)
+    numel = x.size
+    loss0 = mse_sum(out.xrecon, x) / numel
+    loss1 = admm_term(duals.y1, x - out.x1, w.rho) / numel
+    if out.yf_in is not None:
+        loss0 = loss0 + mse_sum(out.yf_out, out.yf_in) / out.yf_in.size
+        r2 = (out.yf_in - out.yf_out)[..., : x.shape[-1]]
+        loss2 = admm_term(duals.y2, r2, w.rho) / numel
+        loss3 = jnp.zeros(())
+        latents = (out.mu, out.muT)
+        new_duals = Duals(
+            y1=duals.y1 + w.rho * (x - out.x1).reshape(-1),
+            y2=duals.y2 + w.rho * r2.reshape(-1),
+            y3=duals.y3,
+        )
+    else:
+        loss2 = admm_term(duals.y2, out.x11 - out.x2, w.rho) / numel
+        loss3 = admm_term(duals.y3, out.x11 - out.x3, w.rho) / numel
+        latents = (out.mu, out.muT, out.muF)
+        new_duals = Duals(
+            y1=duals.y1 + w.rho * (x - out.x1).reshape(-1),
+            y2=duals.y2 + w.rho * (out.x11 - out.x2).reshape(-1),
+            y3=duals.y3 + w.rho * (out.x11 - out.x3).reshape(-1),
+        )
+
+    M = params["params"]["khm"]["M"]
+    if khm_backend == "xla":
+        kdist = w.alpha * khm_loss(out.Mu, M, khm_order)
+    else:
+        from lshm_tpu.kernels import khm_loss_fused
+
+        kdist = w.alpha * khm_loss_fused(
+            out.Mu, M, khm_order, force=None if khm_backend == "auto" else khm_backend
+        )
+    sim = w.beta * cluster_similarity_loss(M)
+    aug = w.gamma * augmentation_loss(out.Mu, num_groups)
+    total = loss0 + loss1 + loss2 + loss3 + kdist + sim + aug
+    metrics = {
+        "loss0": loss0, "loss1": loss1, "loss2": loss2, "loss3": loss3,
+        "kdist": kdist, "sim": sim, "aug": aug,
+    }
+    if use_rica:
+        rl = w.rica_lambda * rica_loss(*latents)
+        total = total + rl
+        metrics["rica"] = rl
+    metrics["loss"] = total
+    return metrics, new_duals
+
+
 def dual_update(model, params, x, uv, duals: Duals, rho) -> Duals:
     """y_k <- y_k + rho * residual_k with a fresh (post-step) forward pass
     (reference: src/kharmonic_lofar.py:186-202)."""

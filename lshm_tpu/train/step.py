@@ -17,7 +17,13 @@ import optax
 from flax import struct
 
 from lshm_tpu.config import Config
-from lshm_tpu.train.objective import Duals, LossWeights, cascade_objective, dual_update
+from lshm_tpu.train.objective import (
+    Duals,
+    LossWeights,
+    cascade_objective,
+    dual_update,
+    metrics_and_dual_update,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -200,11 +206,11 @@ def make_lbfgs_train_step(
             flat, opt_state, duals = carry
             res = lbfgs_step(flat, opt_state, x, uv, duals, w)
             params = unravel(res.x)
-            _, metrics = cascade_objective(
+            # one shared post-step forward for both logging metrics and the dual update
+            metrics, duals = metrics_and_dual_update(
                 model, params, x, uv, duals, w, num_groups,
-                use_rica=use_rica, khm_order=khm_order,
+                use_rica=use_rica, khm_order=khm_order, khm_backend=khm_backend,
             )
-            duals = dual_update(model, params, x, uv, duals, w.rho)
             return (res.x, res.state, duals), metrics
 
         (flat, opt_state, _), metrics = jax.lax.scan(

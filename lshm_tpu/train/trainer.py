@@ -107,6 +107,8 @@ class Trainer:
         return self._step_cache[key]
 
     def _sync_params(self):
+        if self._state is None:
+            return  # nothing newer than self._params (e.g. right after load())
         if self._opt_kind and self._opt_kind[0] == "adam":
             self._params = self._state.params
         elif self._unravel is not None:
@@ -128,7 +130,10 @@ class Trainer:
                 raise FileNotFoundError(f"no valid H5 data under {cfg.data.data_dir!r}")
             sampler = MinibatchSampler(files, saps, cfg.data, seed=cfg.train.seed)
 
-        for epoch in range(cfg.train.num_epochs):
+        start_epoch = getattr(self, "_resume_epoch", 0)
+        for epoch in range(start_epoch, cfg.train.num_epochs):
+            if hasattr(sampler, "reseed"):
+                sampler.reseed(epoch)   # per-epoch stream: resume == uninterrupted run
             stage = ramp_stage_for_epoch(cfg.train.ramp, epoch)
             if stage is not None:
                 w = LossWeights(
@@ -147,10 +152,18 @@ class Trainer:
             profiling = self.profile_dir is not None and epoch == 0
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)
+            # background host->device prefetch so the step never waits on h5py
+            if cfg.data.prefetch > 0:
+                from lshm_tpu.data.sampler import PrefetchIterator
+
+                source = PrefetchIterator(sampler, cfg.data.prefetch)
+            else:
+                source = None
             for it in range(cfg.train.iters_per_epoch):
-                mb = sampler.sample()
+                mb = next(source) if source is not None else sampler.sample()
                 x = jnp.asarray(mb.x)
                 uv = jnp.asarray(mb.uv)
+                self._last_batch_shape = tuple(x.shape)
                 self._ensure_state(kind, group, x, uv)
                 step = self._get_step(kind, group, mb.num_baselines)
                 prev_state = self._state if cfg.train.skip_nonfinite else None
@@ -165,42 +178,75 @@ class Trainer:
                     continue
                 if (it % max(cfg.train.log_every, 1)) == 0:
                     self.logger.log_step(epoch, it, metrics, patches=x.shape[0])
+            if source is not None:
+                source.close()
             if profiling:
                 jax.block_until_ready(jax.tree.leaves(self._state)[0])
                 jax.profiler.stop_trace()
 
             if cfg.train.save_every and (epoch + 1) % cfg.train.save_every == 0:
-                self.save(cfg.train.checkpoint_dir, step=epoch + 1)
+                self.save(cfg.train.checkpoint_dir, step=epoch + 1, epoch=epoch + 1)
 
         if cfg.train.checkpoint_dir:
-            self.save(cfg.train.checkpoint_dir, step=cfg.train.num_epochs)
+            self.save(cfg.train.checkpoint_dir, step=cfg.train.num_epochs,
+                      epoch=cfg.train.num_epochs)
         return self.logger.summary()
 
     # -------------------------------------------------------------------- checkpointing
-    def save(self, ckpt_dir: str, step: int) -> None:
+    def save(self, ckpt_dir: str, step: int, epoch: int | None = None) -> None:
+        """Persist params AND optimizer state (exact resume, unlike the reference's
+        params-only torch.save files; reference: src/kharmonic_lofar.py:210-222)."""
         from lshm_tpu.utils.checkpoint import save_checkpoint
 
         self._sync_params()
-        save_checkpoint(
-            ckpt_dir,
-            {"params": self._params},
-            step,
-            extras={"config": self.cfg.to_dict()},
-        )
+        extras = {"config": self.cfg.to_dict(), "epoch": epoch}
+        if self._state is not None:
+            extras["opt_kind"] = list(self._opt_kind)
+            extras["batch_shape"] = list(getattr(self, "_last_batch_shape", []))
+            save_checkpoint(ckpt_dir, {"full_state": self._state}, step, extras=extras)
+        else:
+            save_checkpoint(ckpt_dir, {"params": self._params}, step, extras=extras)
 
     def load(self, ckpt_dir: str, step: int | None = None) -> None:
-        from lshm_tpu.utils.checkpoint import restore_checkpoint
+        """Restore a checkpoint: exact resume (params + optimizer state + epoch) when the
+        checkpoint carries full state, params-only otherwise (e.g. torch imports)."""
+        import json
+        import os
 
-        if self._params is None:
-            # build a template from a dummy init
-            ps = self.cfg.data.patch_size
-            x = jnp.zeros((1, ps, ps, self.cfg.model.num_channels))
-            uv = jnp.zeros((1, 2))
-            self._params = self.model.init(jax.random.PRNGKey(0), x, uv)
-        restored, _ = restore_checkpoint(ckpt_dir, {"params": self._params}, step)
-        self._params = restored["params"]
-        self._opt_kind = None  # force optimizer state rebuild around loaded params
-        self._state = None
+        from lshm_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        step = step if step is not None else latest_step(ckpt_dir)
+        extras = None
+        sidecar = os.path.join(ckpt_dir, f"extras_{step}.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                extras = json.load(f)
+
+        if extras and extras.get("opt_kind") and extras.get("batch_shape"):
+            kind, group = extras["opt_kind"]
+            shape = tuple(int(s) for s in extras["batch_shape"])
+            x = jnp.zeros(shape, jnp.float32)
+            uv = jnp.zeros((shape[0], 2), jnp.float32)
+            self._params = None
+            self._state = None
+            self._opt_kind = None
+            self._ensure_state(kind, group, x, uv)          # template structure
+            restored, _ = restore_checkpoint(ckpt_dir, {"full_state": self._state}, step)
+            self._state = restored["full_state"]
+            self._sync_params()
+        else:
+            if self._params is None:
+                ps = self.cfg.data.patch_size
+                x = jnp.zeros((1, ps, ps, self.cfg.model.num_channels))
+                uv = jnp.zeros((1, 2))
+                self._params = self.model.init(jax.random.PRNGKey(0), x, uv)
+            restored, _ = restore_checkpoint(ckpt_dir, {"params": self._params}, step)
+            self._params = restored["params"]
+            self._opt_kind = None   # force optimizer state rebuild around loaded params
+            self._state = None
+            self._unravel = None
+        if extras and extras.get("epoch") is not None:
+            self._resume_epoch = int(extras["epoch"])
 
 
 def train_from_config(cfg: Config) -> Trainer:

@@ -105,3 +105,52 @@ def test_cli_synth_and_train(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "done:" in out
+
+
+def test_exact_resume_roundtrip(synth_h5, tmp_path):
+    """Full-state checkpoint: optimizer state + epoch restored; resumed run matches an
+    uninterrupted run exactly (per-epoch reseeded sampler)."""
+    ckpt = str(tmp_path / "ck")
+    base = tiny_cfg(ckpt_dir=ckpt)
+    from lshm_tpu.config import TrainConfig
+    import dataclasses
+
+    # uninterrupted: 2 epochs
+    cfg2 = base.replace(train=dataclasses.replace(base.train, num_epochs=2,
+                                                  checkpoint_dir=""))
+    t_full = Trainer(cfg2, MetricLogger(echo=False))
+    t_full.run(make_sampler(synth_h5, cfg2))
+
+    # interrupted: 1 epoch + save, then resume for epoch 2
+    cfg1 = base.replace(train=dataclasses.replace(base.train, num_epochs=1,
+                                                  checkpoint_dir=ckpt))
+    t_a = Trainer(cfg1, MetricLogger(echo=False))
+    t_a.run(make_sampler(synth_h5, cfg1))
+
+    t_b = Trainer(cfg2.replace(train=dataclasses.replace(cfg2.train, checkpoint_dir="")),
+                  MetricLogger(echo=False))
+    t_b.load(ckpt)
+    assert t_b._resume_epoch == 1
+    t_b.run(make_sampler(synth_h5, cfg2))
+
+    for a, b in zip(jax.tree.leaves(t_full.params), jax.tree.leaves(t_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_config_override_empty_tuple():
+    from lshm_tpu.config import _apply_overrides, preset
+
+    cfg = _apply_overrides(preset("full_khm"), ["optim.group_schedule=ae2d,ae1d,khm"])
+    assert cfg.optim.group_schedule == ("ae2d", "ae1d", "khm")
+    cfg = _apply_overrides(preset("full_khm"), ["model.harmonic_scales=0.1,0.2"])
+    assert cfg.model.harmonic_scales == (0.1, 0.2)
+
+
+def test_trainer_prefetch_path(synth_h5):
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, prefetch=2))
+    t = Trainer(cfg, MetricLogger(echo=False))
+    summary = t.run(make_sampler(synth_h5, cfg))
+    assert np.isfinite(summary["loss"])
