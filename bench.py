@@ -117,9 +117,41 @@ def measure_ours_lbfgs() -> dict:
     }
 
 
+def measure_ours_eval() -> dict:
+    """Inference throughput: batched cascade forward + per-baseline cluster distances
+    (the evaluate_clustering hot path)."""
+    import numpy as np
+
+    from lshm_tpu.config import ModelConfig
+    from lshm_tpu.eval.clustering import _batched_features
+    from lshm_tpu.models import CascadedAE
+
+    cfg = ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True)
+    model = CascadedAE(cfg=cfg)
+    key = jax.random.PRNGKey(0)
+    n = 128   # patches per eval batch (e.g. 32 baselines x 4 patches)
+    x = jax.random.normal(key, (n, 128, 128, 4), jnp.float32)
+    uv = jnp.repeat(jax.random.normal(jax.random.fold_in(key, 1), (n // 4, 2)), 4, axis=0)
+    params = model.init(jax.random.fold_in(key, 2), x[:1], uv[:1])
+    out = _batched_features(model, params, x, uv, 4, 4)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = _batched_features(model, params, x, uv, 4, 4)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / 20)
+    return {"eval_patches_per_sec": n / best, "eval_sec_per_batch": best}
+
+
 def main():
     ours = measure_ours()
     skip_lbfgs = os.environ.get("LSHM_BENCH_SKIP_LBFGS")
+    try:
+        ours.update(measure_ours_eval())
+    except Exception as e:
+        ours["eval_error"] = repr(e)
     if not skip_lbfgs:
         try:
             ours.update(measure_ours_lbfgs())
