@@ -55,3 +55,27 @@ class MetricLogger:
             return {}
         last = self.history[-1]
         return {k: v for k, v in last.items() if isinstance(v, float)}
+
+    def plot(self, path: str, terms: tuple[str, ...] = _ORDER + ("loss",)) -> None:
+        """Loss-curve figure over training iterations (the reference's
+        figures/errors.png artifact, generated instead of hand-assembled)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        if not self.history:
+            return
+        fig, ax = plt.subplots(figsize=(9, 5))
+        xs = np.arange(len(self.history))
+        for k in terms:
+            ys = [h.get(k) for h in self.history]
+            if any(y is not None for y in ys):
+                ax.plot(xs, [y if y is not None else np.nan for y in ys], label=k)
+        ax.set_xlabel("logged step")
+        ax.set_ylabel("loss")
+        ax.set_yscale("log")
+        ax.legend(ncol=3, fontsize=8)
+        fig.tight_layout()
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
