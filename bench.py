@@ -22,10 +22,14 @@ import jax.numpy as jnp
 
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "reference_baseline.json")
 
-BATCH_PATCHES = 48        # 12 baselines x 4 patches (192x192 SAP -> 2x2 grid of 128-patches)
+# Realistic LOFAR minibatch geometry: the reference default is 12 baselines per iter
+# (src/kharmonic_lofar.py:25) and a real SAP (~512x384+) yields ~35 overlapping
+# 128-patches per baseline -> 420 patches. The step is latency-bound below ~192 patches
+# (benchmarks/scaling_report.json), so this is also near the throughput knee.
+BATCH_PATCHES = 420
 NBASELINES = 12
 NADMM = 10                # reference inner-loop count (src/kharmonic_lofar.py:28)
-STEPS = 20                # per timing repetition
+STEPS = 10                # per timing repetition
 REPS = 3                  # repetitions; report the best (dispatch-jitter robust)
 
 
