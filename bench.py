@@ -149,6 +149,46 @@ def measure_ours_eval() -> dict:
     return {"eval_patches_per_sec": n / best, "eval_sec_per_batch": best}
 
 
+def measure_ours_peak() -> dict:
+    """Peak per-chip throughput: largest batch that fits (768 with remat; 1536 exceeds
+    HBM even rematerialized — see benchmarks/scaling_report.json)."""
+    import dataclasses
+
+    from lshm_tpu.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
+    from lshm_tpu.models import CascadedAE
+    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
+
+    batch = 768
+    nbase = batch // 4
+    cfg = Config(
+        data=DataConfig(batch_size=nbase, patch_size=128),
+        model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
+                          khm_backend="auto"),
+        optim=OptimConfig(optimizer="adam", adam_lr=1e-4),
+        train=TrainConfig(admm_iters=NADMM, remat=True),
+    )
+    model = CascadedAE(cfg=cfg.model)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (batch, 128, 128, 4), jnp.float32)
+    uv = jnp.repeat(
+        jax.random.normal(jax.random.fold_in(key, 1), (nbase, 2)), 4, axis=0
+    )
+    state, tx = init_train_state(model, cfg, jax.random.fold_in(key, 2), x, uv)
+    step = make_train_step(model, tx, cfg, num_groups=nbase, donate=True)
+    w = LossWeights()
+    state, m = step(state, x, uv, w)
+    jax.block_until_ready(m["loss"])
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, m = step(state, x, uv, w)
+        jax.block_until_ready(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / (3 * NADMM))
+    return {"peak_patches_per_sec": batch / best, "peak_batch": batch,
+            "peak_uses_remat": True}
+
+
 def main():
     ours = measure_ours()
     skip_lbfgs = os.environ.get("LSHM_BENCH_SKIP_LBFGS")
@@ -156,6 +196,10 @@ def main():
         ours.update(measure_ours_eval())
     except Exception as e:
         ours["eval_error"] = repr(e)
+    try:
+        ours.update(measure_ours_peak())
+    except Exception as e:  # peak is opportunistic; never kill the headline
+        ours["peak_error"] = repr(e)[:200]
     if not skip_lbfgs:
         try:
             ours.update(measure_ours_lbfgs())

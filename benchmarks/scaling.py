@@ -21,10 +21,11 @@ import jax
 import jax.numpy as jnp
 
 BATCHES = (12, 48, 96, 192, 384)
+REMAT_BATCHES = (768,)      # OOMs without remat; 1536 exceeds HBM even rematerialized
 NADMM = 10
 
 
-def measure(batch: int, steps: int = 10, reps: int = 3) -> dict:
+def measure(batch: int, steps: int = 10, reps: int = 3, remat: bool = False) -> dict:
     from lshm_tpu.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
     from lshm_tpu.models import CascadedAE
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
@@ -35,7 +36,7 @@ def measure(batch: int, steps: int = 10, reps: int = 3) -> dict:
         model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
                           khm_backend="auto"),
         optim=OptimConfig(optimizer="adam", adam_lr=1e-4),
-        train=TrainConfig(admm_iters=NADMM),
+        train=TrainConfig(admm_iters=NADMM, remat=remat),
     )
     model = CascadedAE(cfg=cfg.model)
     key = jax.random.PRNGKey(0)
@@ -60,6 +61,7 @@ def measure(batch: int, steps: int = 10, reps: int = 3) -> dict:
         "batch_patches": batch,
         "sec_per_admm_iter": best,
         "patches_per_sec": batch / best,
+        "remat": remat,
     }
 
 
@@ -72,6 +74,10 @@ def main():
     rows = []
     for b in BATCHES:
         r = measure(b)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    for b in REMAT_BATCHES:
+        r = measure(b, steps=5, remat=True)
         rows.append(r)
         print(json.dumps(r), flush=True)
     report = {"device": str(jax.devices()[0]), "rows": rows}
