@@ -190,16 +190,20 @@ def measure_ours_peak() -> dict:
 
 
 def main():
+    # peak first: it uses the most HBM and measures degraded when it runs after the
+    # other benchmarks have churned device memory/executables
+    peak: dict = {}
+    try:
+        peak = measure_ours_peak()
+    except Exception as e:  # peak is opportunistic; never kill the headline
+        peak = {"peak_error": repr(e)[:200]}
     ours = measure_ours()
+    ours.update(peak)
     skip_lbfgs = os.environ.get("LSHM_BENCH_SKIP_LBFGS")
     try:
         ours.update(measure_ours_eval())
     except Exception as e:
         ours["eval_error"] = repr(e)
-    try:
-        ours.update(measure_ours_peak())
-    except Exception as e:  # peak is opportunistic; never kill the headline
-        ours["peak_error"] = repr(e)[:200]
     if not skip_lbfgs:
         try:
             ours.update(measure_ours_lbfgs())
