@@ -49,6 +49,76 @@ def replicate_state(mesh: Mesh, state: Any) -> Any:
     return jax.device_put(state, replicated(mesh))
 
 
+def make_train_step_shard_map(
+    model, tx, cfg, num_groups: int, mesh: Mesh, axis: str = "data",
+    donate: bool = True,
+) -> Callable:
+    """Explicit-SPMD alternative to the GSPMD path: shard_map over the patch batch with
+    hand-placed ``pmean`` collectives on gradients and metrics.
+
+    Every per-patch loss term is a (sum / global-numel) or batch-mean, and the
+    augmentation groups are baseline-major with ``num_groups`` divisible by the mesh
+    axis, so the global objective is exactly the mean of per-shard objectives — one
+    gradient pmean per ADMM iteration is the only communication.  Optimizer updates run
+    redundantly (replicated) on every device from the reduced gradients."""
+    import jax.numpy as jnp
+
+    from lshm_tpu.train.objective import Duals, cascade_objective, dual_update
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    ndev = mesh.shape[axis]
+    assert num_groups % ndev == 0, "baselines per batch must divide the mesh axis"
+    local_groups = num_groups // ndev
+    nadmm = cfg.train.admm_iters
+    use_rica = cfg.model.rica
+    khm_order = cfg.model.khm_order
+
+    def objective(params, x, uv, duals, w):
+        return cascade_objective(
+            model, params, x, uv, duals, w, local_groups,
+            use_rica=use_rica, khm_order=khm_order,
+        )
+
+    grad_fn = jax.value_and_grad(objective, has_aux=True)
+
+    def body(state, x_local, uv_local, w):
+        import optax
+
+        duals = Duals.zeros(x_local.size, x_local.dtype)
+
+        def admm_iter(carry, _):
+            params, opt_state, duals = carry
+            (_, metrics), grads = grad_fn(params, x_local, uv_local, duals, w)
+            grads = jax.lax.pmean(grads, axis)           # the one collective
+            metrics = jax.lax.pmean(metrics, axis)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            duals = dual_update(model, params, x_local, uv_local, duals, w.rho)
+            return (params, opt_state, duals), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            admm_iter, (state.params, state.opt_state, duals), None, length=nadmm
+        )
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    from jax.sharding import PartitionSpec as PS
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(PS(), PS(axis), PS(axis), PS()),
+        out_specs=(PS(), PS()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
 def train_step_sharded(
     train_step: Callable, mesh: Mesh, axis: str = "data", donate: bool = True
 ) -> Callable:

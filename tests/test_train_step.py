@@ -208,3 +208,24 @@ def test_sharded_step_contains_allreduce(setup):
     w = replicate_state(mesh, LossWeights())
     hlo = step.lower(st, xs, uvs, w).compile().as_text()
     assert "all-reduce" in hlo, "expected cross-device gradient reduction"
+
+
+def test_shard_map_step_matches_single_device(setup):
+    """Explicit-collective shard_map path must agree with the single-device step."""
+    from lshm_tpu.train.parallel import (
+        make_train_step_shard_map, replicate_state, shard_batch,
+    )
+
+    cfg, model, x, uv, state, tx = setup
+    mesh = make_mesh((2,), ("data",), devices=jax.devices()[:2])  # 1 group per device
+    single = make_train_step(model, tx, cfg, num_groups=2, donate=False)
+    s1, m1 = single(state, x, uv, LossWeights())
+
+    step = make_train_step_shard_map(model, tx, cfg, num_groups=2, mesh=mesh,
+                                     donate=False)
+    xs, uvs = shard_batch(mesh, x, uv)
+    st = replicate_state(mesh, state)
+    s2, m2 = step(st, xs, uvs, replicate_state(mesh, LossWeights()))
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
