@@ -173,6 +173,67 @@ def metrics_and_dual_update(
     return metrics, new_duals
 
 
+def loss_from_outputs(
+    out, M: jnp.ndarray, x: jnp.ndarray, duals: Duals, w: LossWeights,
+    num_groups: int, use_rica: bool = True, khm_order: int = 4,
+    khm_backend: str = "xla",
+):
+    """The objective as a pure function of the forward OUTPUTS (CascadeOutputs) and the
+    centroids M — used by the fused train step, which differentiates this w.r.t.
+    (out, M) and pulls the cotangents through one shared vjp of the forward.
+    Must stay term-for-term identical to cascade_objective."""
+    numel = x.size
+    loss0 = mse_sum(out.xrecon, x) / numel
+    loss1 = admm_term(duals.y1, x - out.x1, w.rho) / numel
+    if out.yf_in is not None:
+        loss0 = loss0 + mse_sum(out.yf_out, out.yf_in) / out.yf_in.size
+        loss2 = admm_term(duals.y2, (out.yf_in - out.yf_out)[..., : x.shape[-1]], w.rho) / numel
+        loss3 = jnp.zeros(())
+        latents = (out.mu, out.muT)
+    else:
+        loss2 = admm_term(duals.y2, out.x11 - out.x2, w.rho) / numel
+        loss3 = admm_term(duals.y3, out.x11 - out.x3, w.rho) / numel
+        latents = (out.mu, out.muT, out.muF)
+
+    if khm_backend == "xla":
+        kdist = w.alpha * khm_loss(out.Mu, M, khm_order)
+    else:
+        from lshm_tpu.kernels import khm_loss_fused
+
+        kdist = w.alpha * khm_loss_fused(
+            out.Mu, M, khm_order, force=None if khm_backend == "auto" else khm_backend
+        )
+    sim = w.beta * cluster_similarity_loss(M)
+    aug = w.gamma * augmentation_loss(out.Mu, num_groups)
+    total = loss0 + loss1 + loss2 + loss3 + kdist + sim + aug
+    metrics = {
+        "loss0": loss0, "loss1": loss1, "loss2": loss2, "loss3": loss3,
+        "kdist": kdist, "sim": sim, "aug": aug,
+    }
+    if use_rica:
+        rl = w.rica_lambda * rica_loss(*latents)
+        total = total + rl
+        metrics["rica"] = rl
+    metrics["loss"] = total
+    return total, metrics
+
+
+def dual_update_from_outputs(out, x: jnp.ndarray, duals: Duals, rho) -> Duals:
+    """y_k <- y_k + rho * residual_k computed from an existing forward's outputs."""
+    if out.yf_in is not None:
+        r2 = (out.yf_in - out.yf_out)[..., : x.shape[-1]]
+        return Duals(
+            y1=duals.y1 + rho * (x - out.x1).reshape(-1),
+            y2=duals.y2 + rho * r2.reshape(-1),
+            y3=duals.y3,
+        )
+    return Duals(
+        y1=duals.y1 + rho * (x - out.x1).reshape(-1),
+        y2=duals.y2 + rho * (out.x11 - out.x2).reshape(-1),
+        y3=duals.y3 + rho * (out.x11 - out.x3).reshape(-1),
+    )
+
+
 def dual_update(model, params, x, uv, duals: Duals, rho) -> Duals:
     """y_k <- y_k + rho * residual_k with a fresh (post-step) forward pass
     (reference: src/kharmonic_lofar.py:186-202)."""

@@ -67,13 +67,22 @@ def make_train_step(
     num_groups: int,
     donate: bool = True,
     jit: bool = True,
+    fused: bool = False,
 ) -> Callable:
     """Build the jitted minibatch step: (state, x, uv, weights) -> (state, metrics).
 
     ``num_groups`` = baselines per minibatch (static: defines augmentation grouping).
     Metrics are [nadmm]-stacked per-term losses matching the reference's per-closure log
     line (reference: src/kharmonic_lofar.py:176-181).
-    """
+
+    ``fused=True`` restructures each ADMM iteration as ONE forward + vjp, sharing the
+    forward between the dual update and the closure gradient (identical math,
+    parity-tested; the trailing dual update after the last optimizer step is unobservable
+    because duals reset per minibatch, reference: src/kharmonic_lofar.py:128-130).
+    Measured on TPU v5e it is ~13% SLOWER than the default composed value_and_grad —
+    the explicit vjp materializes cotangent buffers for every redundant output
+    (x1/x11/x2/x3/xrecon), while XLA fuses the composed form's backward — so the default
+    stays unfused; the path is kept as a documented negative result."""
     nadmm = cfg.train.admm_iters
     use_rica = cfg.model.rica
     khm_order = cfg.model.khm_order
@@ -90,7 +99,7 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(objective, has_aux=True)
 
-    def train_step(state: TrainState, x: jnp.ndarray, uv: jnp.ndarray, w: LossWeights):
+    def train_step_unfused(state: TrainState, x, uv, w: LossWeights):
         duals = Duals.zeros(x.size, x.dtype)
 
         def admm_iter(carry, _):
@@ -109,6 +118,50 @@ def make_train_step(
             metrics,
         )
 
+    from lshm_tpu.train.objective import dual_update_from_outputs, loss_from_outputs
+
+    def forward(params, x, uv):
+        out = model.apply(params, x, uv)
+        return out, params["params"]["khm"]["M"]
+
+    fwd = jax.checkpoint(forward) if cfg.train.remat else forward
+
+    loss_grad = jax.value_and_grad(
+        lambda out, M, x, duals, w: loss_from_outputs(
+            out, M, x, duals, w, num_groups,
+            use_rica=use_rica, khm_order=khm_order, khm_backend=khm_backend,
+        ),
+        argnums=(0, 1), has_aux=True,
+    )
+
+    def train_step_fused(state: TrainState, x, uv, w: LossWeights):
+        duals0 = Duals.zeros(x.size, x.dtype)
+
+        def admm_iter(carry, t):
+            params, opt_state, duals = carry
+            (out, M), vjp_fn = jax.vjp(lambda p: fwd(p, x, uv), params)
+            # dual update with THIS iteration's params (skipped at t=0: duals are zero)
+            new_duals = dual_update_from_outputs(out, x, duals, w.rho)
+            gate = (t > 0).astype(x.dtype)
+            duals = jax.tree.map(
+                lambda n, o: gate * n + (1.0 - gate) * o, new_duals, duals
+            )
+            (_, metrics), (d_out, d_M) = loss_grad(out, M, x, duals, w)
+            (grads,) = vjp_fn((d_out, d_M))
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, duals), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            admm_iter, (state.params, state.opt_state, duals0),
+            jnp.arange(nadmm),
+        )
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    train_step = train_step_fused if fused else train_step_unfused
     if not jit:
         return train_step  # raw function, e.g. for train_step_sharded to jit with shardings
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

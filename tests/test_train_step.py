@@ -229,3 +229,19 @@ def test_shard_map_step_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=2e-4)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_step_matches_unfused(setup):
+    """The fused (one fwd+vjp per ADMM iter) step must reproduce the reference-ordered
+    unfused sequence exactly."""
+    cfg, model, x, uv, state, tx = setup
+    step_u = make_train_step(model, tx, cfg, num_groups=2, donate=False, fused=False)
+    step_f = make_train_step(model, tx, cfg, num_groups=2, donate=False, fused=True)
+    w = LossWeights()
+    s1, m1 = step_u(state, x, uv, w)
+    s2, m2 = step_f(state, x, uv, w)
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
