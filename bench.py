@@ -103,8 +103,8 @@ def measure_ours_lbfgs() -> dict:
         jax.random.normal(jax.random.fold_in(key, 1), (NBASELINES, 2)),
         BATCH_PATCHES // NBASELINES, axis=0,
     )
-    state, unravel = init_lbfgs_train_state(model, cfg, jax.random.fold_in(key, 2), x, uv)
-    step = make_lbfgs_train_step(model, unravel, cfg, num_groups=NBASELINES, donate=True)
+    state = init_lbfgs_train_state(model, cfg, jax.random.fold_in(key, 2), x, uv)
+    step = make_lbfgs_train_step(model, cfg, num_groups=NBASELINES, donate=True)
     w = LossWeights()
     state, metrics = step(state, x, uv, w)
     jax.block_until_ready(metrics["loss"])

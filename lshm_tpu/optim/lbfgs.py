@@ -16,18 +16,21 @@ A ground-up JAX re-implementation of the reference's improved L-BFGS
   by central finite differences of the closure) for full-batch mode (reference :192-495);
 - the same step-size seeding, NaN guards, and termination tests (reference :498-759).
 
-The crucial TPU difference: the reference's line searches call ``float(closure())`` per
-probe — a host<->device sync every evaluation, dozens per step.  Here the *entire* step,
-line searches included, is one compiled XLA program built from ``lax.while_loop``s:
-closure probes are device-resident function applications with zero host round trips.
+Two TPU-critical design points:
 
-Parameters are handled as a single flat vector (``jax.flatten_util.ravel_pytree``); the
-``LBFGS`` convenience wrapper adapts pytree objectives.
+1. The reference's line searches call ``float(closure())`` per probe — a host<->device
+   sync every evaluation, dozens per step.  Here the *entire* step, line searches
+   included, is one compiled XLA program built from ``lax.while_loop``s.
+2. Parameters are handled as **native pytrees** (a bare array works too — it is a
+   pytree).  An earlier flat-vector design paid ~15x per closure evaluation for
+   ravel/unravel materialization at reference scale; tree-wise axpy/dot keeps every
+   closure evaluation as cheap as the plain pytree training step.
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+import operator
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,64 +38,113 @@ from flax import struct
 
 from lshm_tpu.config import LBFGSConfig
 
+# ----------------------------------------------------------------------------------
+# pytree vector algebra
+# ----------------------------------------------------------------------------------
+
+
+def _tdot(a, b) -> jnp.ndarray:
+    return jax.tree.reduce(
+        operator.add, jax.tree.map(lambda x, y: jnp.vdot(x, y), a, b)
+    )
+
+
+def _tabs_sum(a) -> jnp.ndarray:
+    return jax.tree.reduce(operator.add, jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), a))
+
+
+def _taxpy(x, alpha, d):
+    """x + alpha * d (alpha scalar)."""
+    return jax.tree.map(lambda xi, di: xi + alpha * di, x, d)
+
+
+def _tsub(a, b):
+    return jax.tree.map(operator.sub, a, b)
+
+
+def _tscale(a, alpha):
+    return jax.tree.map(lambda x: alpha * x, a)
+
+
+def _tzeros_like(a):
+    return jax.tree.map(jnp.zeros_like, a)
+
+
+def _tselect(pred, a, b):
+    """Elementwise where with a scalar predicate over two trees."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _dtype_of(a):
+    return jax.tree.leaves(a)[0].dtype
+
 
 class LBFGSState(struct.PyTreeNode):
     """Persistent optimizer state (survives across minibatch steps, like the reference's
     optimizer ``state`` dict; reference: src/lbfgsnew.py:743-756).
 
-    The history is a pointer-based circular buffer: pushes write ONE [n] row via
-    dynamic_update_slice instead of shifting the whole [m, n] block, and no [m, n]
-    buffer ever flows through a lax.cond join (those cost ~100 MB of copies per
-    iteration at reference scale)."""
+    The curvature history is a pointer-based circular buffer stored per parameter leaf
+    (leading dim m): pushes write ONE row per leaf via dynamic_update_slice, and no
+    history-sized buffer flows through a lax.cond join."""
 
-    s_hist: jnp.ndarray          # [m, n] recent steps s_i = t * d (circular)
-    y_hist: jnp.ndarray          # [m, n] recent gradient differences (circular)
+    s_hist: Any                  # tree of [m, *leaf] recent steps s_i = t * d (circular)
+    y_hist: Any                  # tree of [m, *leaf] recent gradient differences
     hist_ptr: jnp.ndarray        # [] int32 next write slot
     hist_count: jnp.ndarray      # [] int32 number of valid pairs
     H_diag: jnp.ndarray          # [] initial inverse-Hessian scale
-    prev_flat_grad: jnp.ndarray  # [n]
+    prev_grad: Any               # tree like params
     prev_loss: jnp.ndarray       # []
-    d: jnp.ndarray               # [n] last search direction
+    d: Any                       # tree: last search direction
     t: jnp.ndarray               # [] last step size
     n_iter: jnp.ndarray          # [] int32 global iteration counter
-    running_avg: jnp.ndarray     # [n] online mean of inter-batch gradients
-    running_avg_sq: jnp.ndarray  # [n] online second central moment accumulator
+    running_avg: Any             # tree: online mean of inter-batch gradients
+    running_avg_sq: Any          # tree: online second central moment accumulator
     alphabar: jnp.ndarray        # [] adaptive max step (batch mode)
     func_evals: jnp.ndarray      # [] int32 cumulative closure evaluations
 
 
-def lbfgs_init(n: int, cfg: LBFGSConfig, dtype=jnp.float32) -> LBFGSState:
+def lbfgs_init(params_or_n, cfg: LBFGSConfig, dtype=jnp.float32) -> LBFGSState:
+    """``params_or_n``: a params pytree template, or an int n for a flat [n] vector."""
+    template = (
+        jnp.zeros((params_or_n,), dtype)
+        if isinstance(params_or_n, int)
+        else jax.tree.map(jnp.zeros_like, params_or_n)
+    )
     m = cfg.history_size
+    hist = jax.tree.map(lambda z: jnp.zeros((m, *z.shape), z.dtype), template)
+    fdtype = _dtype_of(template)
     return LBFGSState(
-        s_hist=jnp.zeros((m, n), dtype),
-        y_hist=jnp.zeros((m, n), dtype),
+        s_hist=hist,
+        y_hist=jax.tree.map(jnp.copy, hist),
         hist_ptr=jnp.zeros((), jnp.int32),
         hist_count=jnp.zeros((), jnp.int32),
-        H_diag=jnp.ones((), dtype),
-        prev_flat_grad=jnp.zeros((n,), dtype),
-        prev_loss=jnp.zeros((), dtype),
-        d=jnp.zeros((n,), dtype),
-        t=jnp.asarray(cfg.lr, dtype),
+        H_diag=jnp.ones((), fdtype),
+        prev_grad=template,
+        prev_loss=jnp.zeros((), fdtype),
+        d=jax.tree.map(jnp.copy, template),
+        t=jnp.asarray(cfg.lr, fdtype),
         n_iter=jnp.zeros((), jnp.int32),
-        running_avg=jnp.zeros((n,), dtype),
-        running_avg_sq=jnp.zeros((n,), dtype),
-        alphabar=jnp.asarray(cfg.lr, dtype),
+        running_avg=jax.tree.map(jnp.copy, template),
+        running_avg_sq=jax.tree.map(jnp.copy, template),
+        alphabar=jnp.asarray(cfg.lr, fdtype),
         func_evals=jnp.zeros((), jnp.int32),
     )
 
 
-def _push_history(
-    state: LBFGSState, s: jnp.ndarray, y: jnp.ndarray, accept: jnp.ndarray
-) -> LBFGSState:
-    """Conditionally write (s, y) at the circular pointer — one [n]-row write either way,
-    never a full-buffer shift or a big cond-join copy."""
+def _push_history(state: LBFGSState, s, y, accept) -> LBFGSState:
+    """Conditionally write (s, y) at the circular pointer — one row write per leaf
+    either way, never a full-buffer shift or a big cond-join copy."""
     ptr = state.hist_ptr
-    write_s = jnp.where(accept, s, jax.lax.dynamic_slice_in_dim(state.s_hist, ptr, 1)[0])
-    write_y = jnp.where(accept, y, jax.lax.dynamic_slice_in_dim(state.y_hist, ptr, 1)[0])
-    m = state.s_hist.shape[0]
+    m = jax.tree.leaves(state.s_hist)[0].shape[0]
+
+    def write(hist_leaf, new_leaf):
+        cur = jax.lax.dynamic_index_in_dim(hist_leaf, ptr, 0, keepdims=False)
+        row = jnp.where(accept, new_leaf, cur)
+        return jax.lax.dynamic_update_slice_in_dim(hist_leaf, row[None], ptr, 0)
+
     return state.replace(
-        s_hist=jax.lax.dynamic_update_slice_in_dim(state.s_hist, write_s[None], ptr, 0),
-        y_hist=jax.lax.dynamic_update_slice_in_dim(state.y_hist, write_y[None], ptr, 0),
+        s_hist=jax.tree.map(write, state.s_hist, s),
+        y_hist=jax.tree.map(write, state.y_hist, y),
         hist_ptr=jnp.where(accept, (ptr + 1) % m, ptr),
         hist_count=jnp.where(
             accept, jnp.minimum(state.hist_count + 1, m), state.hist_count
@@ -100,30 +152,38 @@ def _push_history(
     )
 
 
+def _gather(hist, idx):
+    return jax.tree.map(
+        lambda h: jax.lax.dynamic_index_in_dim(h, idx, 0, keepdims=False), hist
+    )
+
+
 def _two_loop(g, s_hist, y_hist, hist_ptr, hist_count, H_diag):
     """L-BFGS two-loop recursion over the masked circular history
-    (reference: src/lbfgsnew.py:637-651).  Newest pair is at (ptr - 1) % m."""
-    m = s_hist.shape[0]
-    rho = 1.0 / jnp.einsum("in,in->i", y_hist, s_hist)      # [m]; masked below
-
-    # m is small and static: unroll both passes to straight-line code (a fori_loop here
-    # costs a device loop round per history slot). Indices stay dynamic via gather rows.
-    q = -g
+    (reference: src/lbfgsnew.py:637-651).  Newest pair is at (ptr - 1) % m; m is small
+    and static so both passes unroll to straight-line code."""
+    m = jax.tree.leaves(s_hist)[0].shape[0]
+    q = _tscale(g, -1.0)
     al = []
     for i in range(m):                                      # newest -> oldest
         idx = (hist_ptr - 1 - i) % m
         valid = i < hist_count
-        s_i = s_hist[idx]
-        a_i = jnp.where(valid, rho[idx] * jnp.dot(s_i, q), 0.0)
-        q = q - a_i * y_hist[idx]
+        s_i = _gather(s_hist, idx)
+        y_i = _gather(y_hist, idx)
+        rho_i = 1.0 / _tdot(y_i, s_i)
+        a_i = jnp.where(valid, rho_i * _tdot(s_i, q), 0.0)
+        q = _taxpy(q, -a_i, y_i)                            # a_i == 0 when invalid
         al.append((idx, a_i))
-    r = q * H_diag
+    r = _tscale(q, H_diag)
     for i in range(m - 1, -1, -1):                          # oldest -> newest
         idx, a_i = al[i]
         valid = i < hist_count
-        be = jnp.where(valid, rho[idx] * jnp.dot(y_hist[idx], r), 0.0)
+        s_i = _gather(s_hist, idx)
+        y_i = _gather(y_hist, idx)
+        rho_i = 1.0 / _tdot(y_i, s_i)
+        be = jnp.where(valid, rho_i * _tdot(y_i, r), 0.0)
         coef = jnp.where(valid, a_i - be, 0.0)
-        r = r + coef * s_hist[idx]
+        r = _taxpy(r, coef, s_i)
     return r
 
 
@@ -137,10 +197,10 @@ def _linesearch_backtrack(value_fn, x, d, g, alphabar, cfg: LBFGSConfig):
     c1 = cfg.ls_c1
     citer = cfg.ls_max_steps
     f_old = value_fn(x)
-    prodterm = c1 * jnp.dot(g, d)
+    prodterm = c1 * _tdot(g, d)
 
     def probe(alpha):
-        return value_fn(x + alpha * d)
+        return value_fn(_taxpy(x, alpha, d))
 
     def halve_while(alpha0, ci0):
         f0 = probe(alpha0)
@@ -179,7 +239,7 @@ def _linesearch_backtrack(value_fn, x, d, g, alphabar, cfg: LBFGSConfig):
 def _cubic_min(value_fn, x, d, a, b, step):
     """Cubic interpolation on [a, b] with finite-difference derivatives
     (reference: src/lbfgsnew.py:319-405).  Returns the chosen alpha."""
-    phi = lambda t: value_fn(x + t * d)
+    phi = lambda t: value_fn(_taxpy(x, t, d))
     f0 = phi(a)
     f0d = (phi(a + step) - phi(a - step)) / (2.0 * step)
     f1 = phi(b)
@@ -212,7 +272,7 @@ def _linesearch_zoom(value_fn, x, d, a, b, phi_0, gphi_0, step, cfg: LBFGSConfig
     """Fletcher zoom (reference: src/lbfgsnew.py:412-495)."""
     sigma, rho_ls = cfg.cubic_sigma, cfg.cubic_rho
     t2, t3 = cfg.cubic_t2, cfg.cubic_t3
-    phi = lambda t: value_fn(x + t * d)
+    phi = lambda t: value_fn(_taxpy(x, t, d))
 
     def cond(c):
         ci, aj, bj, alphaj, found = c
@@ -249,13 +309,13 @@ def _linesearch_zoom(value_fn, x, d, a, b, phi_0, gphi_0, step, cfg: LBFGSConfig
     return alphak
 
 
-def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr):
+def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype):
     """Strong-Wolfe cubic line search, full-batch mode
     (reference: src/lbfgsnew.py:192-316).  Returns alpha."""
     step = cfg.cubic_step
     sigma, rho_ls, t1 = cfg.cubic_sigma, cfg.cubic_rho, cfg.cubic_t1
     alpha1 = 10.0 * lr
-    phi = lambda t: value_fn(x + t * d)
+    phi = lambda t: value_fn(_taxpy(x, t, d))
 
     phi_0 = value_fn(x)
     tol = jnp.minimum(phi_0 * 0.01, 1e-6)
@@ -324,13 +384,13 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr):
             )
             return (ci + 1, alphai_next, alphai1_next, phi_i, alphak_new, stop)
 
-        init = (1, alpha1, 0.0, phi_0, jnp.asarray(lr, x.dtype), False)
+        init = (1, alpha1, 0.0, phi_0, jnp.asarray(lr, fdtype), False)
         _, _, _, _, alphak, done = jax.lax.while_loop(cond, body, init)
-        return jnp.where(done, alphak, jnp.asarray(lr, x.dtype))
+        return jnp.where(done, alphak, jnp.asarray(lr, fdtype))
 
     # degenerate-derivative guards (reference :232-238): return 1.0
     bad = (jnp.abs(gphi_0) < 1e-12) | jnp.isnan(mu)
-    return jax.lax.cond(bad, lambda _: jnp.ones((), x.dtype), search, None)
+    return jax.lax.cond(bad, lambda _: jnp.ones((), fdtype), search, None)
 
 
 # ----------------------------------------------------------------------------------
@@ -338,20 +398,20 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr):
 # ----------------------------------------------------------------------------------
 
 class LBFGSResult(NamedTuple):
-    x: jnp.ndarray
+    x: Any
     state: LBFGSState
     loss: jnp.ndarray
 
 
 def make_lbfgs_step(
-    value_and_grad_fn_outer: Callable[..., tuple[jnp.ndarray, jnp.ndarray]],
+    value_and_grad_fn_outer: Callable[..., tuple[jnp.ndarray, Any]],
     value_fn_outer: Callable[..., jnp.ndarray],
     cfg: LBFGSConfig,
 ) -> Callable[..., LBFGSResult]:
     """Build the jittable step: one call = one ``optimizer.step(closure)`` of the
     reference — up to ``max_iter`` L-BFGS iterations on the current closure.
 
-    Both closures take ``(flat_params, *args)`` so per-minibatch context (data, ADMM
+    Both closures take ``(params_pytree, *args)`` so per-minibatch context (data, ADMM
     duals, loss weights) threads through without rebuilding the step."""
 
     lr = cfg.lr
@@ -359,13 +419,14 @@ def make_lbfgs_step(
     max_eval = max_iter * 5 // 4
     lm0 = cfg.trust_region_lm0
 
-    def step(x: jnp.ndarray, state: LBFGSState, *args) -> LBFGSResult:
+    def step(x, state: LBFGSState, *args) -> LBFGSResult:
         value_fn = lambda v: value_fn_outer(v, *args)
         value_and_grad_fn = lambda v: value_and_grad_fn_outer(v, *args)
+        fdtype = _dtype_of(x)
         loss0, g0 = value_and_grad_fn(x)
         state = state.replace(func_evals=state.func_evals + 1)
-        abs_grad_sum0 = jnp.sum(jnp.abs(g0))
-        grad_nrm = jnp.linalg.norm(g0)        # fixed at entry (reference :555)
+        abs_grad_sum0 = _tabs_sum(g0)
+        grad_nrm = jnp.sqrt(_tdot(g0, g0))    # fixed at entry (reference :555)
         orig_loss = loss0
 
         def cond(carry):
@@ -381,33 +442,37 @@ def make_lbfgs_step(
             first_global = gi == 1
 
             # ---- direction -----------------------------------------------------
-            # No lax.cond carries any [m, n] or [n] buffer here: every branch decision
-            # is a cheap always-compute + jnp.where select, so the while-loop body costs
-            # O(one history row) of memory traffic per iteration.
-            y = g - state.prev_flat_grad
-            s = state.d * state.t
+            # No lax.cond carries any history-sized buffer: branch decisions are
+            # always-compute + where selects.
+            y = _tsub(g, state.prev_grad)
+            s = _tscale(state.d, state.t)
             if cfg.batch_mode:
-                y = y + lm0 * s                         # trust region (reference :586)
-            ys = jnp.dot(y, s)
-            sn2 = jnp.dot(s, s)
+                y = _taxpy(y, lm0, s)                   # trust region (reference :586)
+            ys = _tdot(y, s)
+            sn2 = _tdot(s, s)
             batch_changed = (
                 jnp.asarray(cfg.batch_mode, bool) & (n_iter == 1) & (gi > 1)
             )
 
             # online inter-batch gradient statistics (reference :592-607); on the very
             # first global iteration the running stats are zeros by construction
-            g_old = g - state.running_avg
-            running_avg_new = state.running_avg + g_old / gi.astype(x.dtype)
-            g_new = g - running_avg_new
-            running_avg_sq_new = state.running_avg_sq + g_new * g_old
+            g_old = _tsub(g, state.running_avg)
+            running_avg_new = _taxpy(state.running_avg, 1.0 / gi.astype(fdtype), g_old)
+            g_new_t = _tsub(g, running_avg_new)
+            running_avg_sq_new = jax.tree.map(
+                lambda acc, gn, go: acc + gn * go,
+                state.running_avg_sq, g_new_t, g_old,
+            )
             alphabar_new = 1.0 / (
                 1.0
-                + jnp.sum(running_avg_sq_new)
-                / (jnp.maximum(gi - 1, 1).astype(x.dtype) * grad_nrm)
+                + jax.tree.reduce(
+                    operator.add, jax.tree.map(jnp.sum, running_avg_sq_new)
+                )
+                / (jnp.maximum(gi - 1, 1).astype(fdtype) * grad_nrm)
             )
             state = state.replace(
-                running_avg=jnp.where(batch_changed, running_avg_new, state.running_avg),
-                running_avg_sq=jnp.where(
+                running_avg=_tselect(batch_changed, running_avg_new, state.running_avg),
+                running_avg_sq=_tselect(
                     batch_changed, running_avg_sq_new, state.running_avg_sq
                 ),
                 alphabar=jnp.where(batch_changed, alphabar_new, state.alphabar),
@@ -418,8 +483,8 @@ def make_lbfgs_step(
             state = state.replace(
                 H_diag=jnp.where(
                     accept,
-                    ys / jnp.dot(y, y),
-                    jnp.where(first_global, jnp.ones((), x.dtype), state.H_diag),
+                    ys / _tdot(y, y),
+                    jnp.where(first_global, jnp.ones((), fdtype), state.H_diag),
                 ),
                 hist_count=jnp.where(first_global, 0, state.hist_count),
             )
@@ -427,16 +492,16 @@ def make_lbfgs_step(
                 g, state.s_hist, state.y_hist, state.hist_ptr, state.hist_count,
                 state.H_diag,
             )
-            d = jnp.where(first_global, -g, d_two)
-            state = state.replace(prev_flat_grad=g, prev_loss=loss, d=d)
+            d = _tselect(first_global, _tscale(g, -1.0), d_two)
+            state = state.replace(prev_grad=g, prev_loss=loss, d=d)
 
             # ---- step size -----------------------------------------------------
             t0 = jnp.where(
                 first_global,
                 jnp.minimum(1.0, 1.0 / abs_grad_sum0) * lr,
-                jnp.asarray(lr, x.dtype),
+                jnp.asarray(lr, fdtype),
             )
-            gtd = jnp.dot(g, d)
+            gtd = _tdot(g, d)
 
             if cfg.line_search:
                 if cfg.batch_mode:
@@ -444,16 +509,16 @@ def make_lbfgs_step(
                         value_fn, x, d, g, state.alphabar, cfg
                     )
                 else:
-                    t = _linesearch_cubic(value_fn, x, d, cfg, lr)
+                    t = _linesearch_cubic(value_fn, x, d, cfg, lr, fdtype)
                     ls_evals = jnp.asarray(0, jnp.int32)
-                t = jnp.where(jnp.isnan(t), jnp.asarray(lr, x.dtype), t)
+                t = jnp.where(jnp.isnan(t), jnp.asarray(lr, fdtype), t)
                 state = state.replace(
                     func_evals=state.func_evals + jnp.asarray(ls_evals, jnp.int32)
                 )
             else:
                 t = t0
 
-            x = x + t * d
+            x = _taxpy(x, t, d)
             state = state.replace(t=t)
 
             # ---- re-evaluate (except on the announced last iteration) ----------
@@ -464,10 +529,10 @@ def make_lbfgs_step(
             def keep(_):
                 return loss, g, jnp.asarray(0, jnp.int32)
 
-            loss_new, g_new, ev = jax.lax.cond(n_iter != max_iter, reeval, keep, None)
+            loss_new, g_next, ev = jax.lax.cond(n_iter != max_iter, reeval, keep, None)
             current_evals = current_evals + ev
             state = state.replace(func_evals=state.func_evals + ev)
-            abs_grad_sum = jnp.sum(jnp.abs(g_new))
+            abs_grad_sum = _tabs_sum(g_next)
 
             # ---- termination tests (reference :725-741) -------------------------
             done = (
@@ -476,12 +541,15 @@ def make_lbfgs_step(
                 | (current_evals >= max_eval)
                 | (abs_grad_sum <= cfg.tolerance_grad)
                 | (gtd > -cfg.tolerance_change)
-                | (jnp.sum(jnp.abs(d * t)) <= cfg.tolerance_change)
+                | (jnp.abs(t) * _tabs_sum(d) <= cfg.tolerance_change)
                 | (jnp.abs(loss_new - state.prev_loss) < cfg.tolerance_change)
             )
-            return (x, g_new, loss_new, state, n_iter, current_evals, done)
+            return (x, g_next, loss_new, state, n_iter, current_evals, done)
 
-        init = (x, g0, loss0, state, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32), abs_grad_sum0 <= cfg.tolerance_grad)
+        init = (
+            x, g0, loss0, state, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
+            abs_grad_sum0 <= cfg.tolerance_grad,
+        )
         x, g, loss, state, *_ = jax.lax.while_loop(cond, body, init)
         return LBFGSResult(x=x, state=state, loss=orig_loss)
 
@@ -489,26 +557,21 @@ def make_lbfgs_step(
 
 
 class LBFGS:
-    """Pytree-friendly convenience wrapper: flattens params with ravel_pytree and runs the
-    jitted flat-vector step."""
+    """Convenience wrapper: holds params + state and runs the jitted step."""
 
     def __init__(self, loss_fn: Callable, params, cfg: LBFGSConfig):
-        from jax.flatten_util import ravel_pytree
-
-        flat, unravel = ravel_pytree(params)
-        self._unravel = unravel
         self.cfg = cfg
-        vf = lambda v: loss_fn(unravel(v))
-        vg = jax.value_and_grad(vf)
+        vf = loss_fn
+        vg = jax.value_and_grad(loss_fn)
         self._step = jax.jit(make_lbfgs_step(vg, vf, cfg))
-        self.state = lbfgs_init(flat.size, cfg, flat.dtype)
-        self._flat = flat
+        self.state = lbfgs_init(params, cfg)
+        self._params = params
 
     @property
     def params(self):
-        return self._unravel(self._flat)
+        return self._params
 
     def step(self) -> float:
-        res = self._step(self._flat, self.state)
-        self._flat, self.state = res.x, res.state
+        res = self._step(self._params, self.state)
+        self._params, self.state = res.x, res.state
         return float(res.loss)

@@ -168,35 +168,29 @@ def make_train_step(
 
 
 class LBFGSTrainState(struct.PyTreeNode):
-    """Train state for the L-BFGS path: parameters live as one flat vector."""
+    """Train state for the L-BFGS path (params kept as a native pytree — an earlier
+    flat-vector design paid ~15x per closure evaluation in ravel/unravel traffic)."""
 
-    flat_params: jnp.ndarray
+    params: Any
     opt_state: Any                 # lshm_tpu.optim.LBFGSState
     step: jnp.ndarray
 
 
 def init_lbfgs_train_state(
     model, cfg: Config, rng: jax.Array, sample_x: jnp.ndarray, sample_uv: jnp.ndarray
-):
-    """Returns (state, unravel_fn).  ``unravel_fn`` is static and must be passed to
-    ``make_lbfgs_train_step``."""
-    from jax.flatten_util import ravel_pytree
-
+) -> "LBFGSTrainState":
     from lshm_tpu.optim import lbfgs_init
 
     params = model.init(rng, sample_x, sample_uv)
-    flat, unravel = ravel_pytree(params)
-    state = LBFGSTrainState(
-        flat_params=flat,
-        opt_state=lbfgs_init(flat.size, cfg.optim.lbfgs, flat.dtype),
+    return LBFGSTrainState(
+        params=params,
+        opt_state=lbfgs_init(params, cfg.optim.lbfgs),
         step=jnp.zeros((), jnp.int32),
     )
-    return state, unravel
 
 
 def make_lbfgs_train_step(
     model,
-    unravel,
     cfg: Config,
     num_groups: int,
     group: str = "all",
@@ -208,10 +202,8 @@ def make_lbfgs_train_step(
     on-device) followed by the dual update — the structure of the reference's LBFGS
     training mode (reference: src/kharmonic_lofar.py:93,131-202).
 
-    Alternating groups are realized by zeroing the masked coordinates of the flat
-    gradient, which confines every L-BFGS update to the active group's subspace."""
-    from jax.flatten_util import ravel_pytree
-
+    Alternating groups are realized by zeroing the masked leaves of the gradient
+    pytree, which confines every L-BFGS update to the active group's subspace."""
     from lshm_tpu.optim import make_lbfgs_step
     from lshm_tpu.train.schedule import group_mask
 
@@ -229,26 +221,19 @@ def make_lbfgs_train_step(
     if cfg.train.remat:  # rematerialize the forward in the backward pass (HBM relief)
         objective = jax.checkpoint(objective)
 
-    # flat {0,1} mask for the active group: ravel a pytree of ones/zeros per leaf
-    def flat_group_mask(sample_flat: jnp.ndarray) -> jnp.ndarray:
-        params = unravel(sample_flat)
-        mask_tree = group_mask(params, group)
-        ones = jax.tree.map(
-            lambda leaf, m: jnp.full(jnp.shape(leaf), 1.0 if m else 0.0, sample_flat.dtype),
-            params, mask_tree,
-        )
-        return ravel_pytree(ones)[0]
-
-    def value_fn(flat, x, uv, duals, w):
-        return objective(unravel(flat), x, uv, duals, w)[0]
+    def value_fn(params, x, uv, duals, w):
+        return objective(params, x, uv, duals, w)[0]
 
     if group == "all":
-        def vg_fn(flat, x, uv, duals, w):
-            return jax.value_and_grad(value_fn)(flat, x, uv, duals, w)
+        def vg_fn(params, x, uv, duals, w):
+            return jax.value_and_grad(value_fn)(params, x, uv, duals, w)
     else:
-        def vg_fn(flat, x, uv, duals, w):
-            v, g = jax.value_and_grad(value_fn)(flat, x, uv, duals, w)
-            return v, g * flat_group_mask(flat)
+        def vg_fn(params, x, uv, duals, w):
+            v, g = jax.value_and_grad(value_fn)(params, x, uv, duals, w)
+            mask = group_mask(params, group)
+            return v, jax.tree.map(
+                lambda leaf, keep: leaf if keep else jnp.zeros_like(leaf), g, mask
+            )
 
     lbfgs_step = make_lbfgs_step(vg_fn, value_fn, cfg.optim.lbfgs)
 
@@ -256,21 +241,20 @@ def make_lbfgs_train_step(
         duals = Duals.zeros(x.size, x.dtype)
 
         def admm_iter(carry, _):
-            flat, opt_state, duals = carry
-            res = lbfgs_step(flat, opt_state, x, uv, duals, w)
-            params = unravel(res.x)
+            params, opt_state, duals = carry
+            res = lbfgs_step(params, opt_state, x, uv, duals, w)
             # one shared post-step forward for both logging metrics and the dual update
             metrics, duals = metrics_and_dual_update(
-                model, params, x, uv, duals, w, num_groups,
+                model, res.x, x, uv, duals, w, num_groups,
                 use_rica=use_rica, khm_order=khm_order, khm_backend=khm_backend,
             )
             return (res.x, res.state, duals), metrics
 
-        (flat, opt_state, _), metrics = jax.lax.scan(
-            admm_iter, (state.flat_params, state.opt_state, duals), None, length=nadmm
+        (params, opt_state, _), metrics = jax.lax.scan(
+            admm_iter, (state.params, state.opt_state, duals), None, length=nadmm
         )
         return (
-            state.replace(flat_params=flat, opt_state=opt_state, step=state.step + 1),
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
             metrics,
         )
 

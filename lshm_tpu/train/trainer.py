@@ -44,7 +44,6 @@ class Trainer:
         self._params = None          # canonical params pytree
         self._opt_kind = None        # ("adam"|"lbfgs", group)
         self._state = None
-        self._unravel = None
 
     # ---------------------------------------------------------------- state management
     def _ensure_state(self, kind: str, group: str, x, uv):
@@ -57,19 +56,16 @@ class Trainer:
                 self._state, self._tx = state, tx
                 self._params = state.params
             else:
-                state, unravel = init_lbfgs_train_state(
+                self._state = init_lbfgs_train_state(
                     self.model, self.cfg, jax.random.PRNGKey(self.cfg.train.seed), x, uv
                 )
-                self._state, self._unravel = state, unravel
-                self._params = unravel(state.flat_params)
+                self._params = self._state.params
             self._opt_kind = (kind, group)
             return
 
         if (kind, group) != self._opt_kind:
             self._sync_params()  # capture latest params before rebuilding optimizer state
             # carry params across the optimizer/group switch, reset optimizer state
-            from jax.flatten_util import ravel_pytree
-
             from lshm_tpu.optim import lbfgs_init
             from lshm_tpu.train.step import LBFGSTrainState, TrainState, make_optimizer
 
@@ -83,11 +79,9 @@ class Trainer:
                     params=self._params, opt_state=tx.init(self._params), step=step_count
                 )
             else:
-                flat, unravel = ravel_pytree(self._params)
-                self._unravel = unravel
                 self._state = LBFGSTrainState(
-                    flat_params=flat,
-                    opt_state=lbfgs_init(flat.size, self.cfg.optim.lbfgs, flat.dtype),
+                    params=self._params,
+                    opt_state=lbfgs_init(self._params, self.cfg.optim.lbfgs),
                     step=step_count,
                 )
             self._opt_kind = (kind, group)
@@ -101,18 +95,15 @@ class Trainer:
                 )
             else:
                 self._step_cache[key] = make_lbfgs_train_step(
-                    self.model, self._unravel, self.cfg, num_groups, group=group,
-                    donate=False,
+                    self.model, self.cfg, num_groups, group=group, donate=False,
                 )
         return self._step_cache[key]
 
     def _sync_params(self):
         if self._state is None:
             return  # nothing newer than self._params (e.g. right after load())
-        if self._opt_kind and self._opt_kind[0] == "adam":
+        if self._opt_kind is not None:
             self._params = self._state.params
-        elif self._unravel is not None:
-            self._params = self._unravel(self._state.flat_params)
 
     @property
     def params(self):
@@ -244,7 +235,6 @@ class Trainer:
             self._params = restored["params"]
             self._opt_kind = None   # force optimizer state rebuild around loaded params
             self._state = None
-            self._unravel = None
         if extras and extras.get("epoch") is not None:
             self._resume_epoch = int(extras["epoch"])
 

@@ -39,8 +39,8 @@ def test_lbfgs_train_step_improves():
     cfg = make_cfg()
     model = CascadedAE(cfg=cfg.model)
     x, uv = make_batch(jax.random.PRNGKey(0))
-    state, unravel = init_lbfgs_train_state(model, cfg, jax.random.PRNGKey(1), x, uv)
-    step = make_lbfgs_train_step(model, unravel, cfg, num_groups=2, donate=False)
+    state = init_lbfgs_train_state(model, cfg, jax.random.PRNGKey(1), x, uv)
+    step = make_lbfgs_train_step(model, cfg, num_groups=2, donate=False)
     w = LossWeights()
     first = None
     for _ in range(3):
@@ -57,13 +57,11 @@ def test_lbfgs_group_masked_step():
     cfg = make_cfg()
     model = CascadedAE(cfg=cfg.model)
     x, uv = make_batch(jax.random.PRNGKey(2))
-    state, unravel = init_lbfgs_train_state(model, cfg, jax.random.PRNGKey(3), x, uv)
-    step = make_lbfgs_train_step(
-        model, unravel, cfg, num_groups=2, group="khm", donate=False
-    )
+    state = init_lbfgs_train_state(model, cfg, jax.random.PRNGKey(3), x, uv)
+    step = make_lbfgs_train_step(model, cfg, num_groups=2, group="khm", donate=False)
     new_state, _ = step(state, x, uv, LossWeights())
-    p0 = unravel(state.flat_params)["params"]
-    p1 = unravel(new_state.flat_params)["params"]
+    p0 = state.params["params"]
+    p1 = new_state.params["params"]
     # khm moved, AEs frozen
     assert np.abs(np.asarray(p1["khm"]["M"] - p0["khm"]["M"])).max() > 0
     for name in ("ae2d", "aeT", "aeF"):
