@@ -189,26 +189,48 @@ def measure_ours_peak() -> dict:
             "peak_uses_remat": True}
 
 
-def main():
-    # peak first: it uses the most HBM and measures degraded when it runs after the
-    # other benchmarks have churned device memory/executables
-    peak: dict = {}
-    try:
-        peak = measure_ours_peak()
-    except Exception as e:  # peak is opportunistic; never kill the headline
-        peak = {"peak_error": repr(e)[:200]}
-    ours = measure_ours()
-    ours.update(peak)
-    skip_lbfgs = os.environ.get("LSHM_BENCH_SKIP_LBFGS")
-    try:
-        ours.update(measure_ours_eval())
-    except Exception as e:
-        ours["eval_error"] = repr(e)
-    if not skip_lbfgs:
+_MEASUREMENTS = {
+    "headline": lambda: measure_ours(),
+    "peak": lambda: measure_ours_peak(),
+    "eval": lambda: measure_ours_eval(),
+    "lbfgs": lambda: measure_ours_lbfgs(),
+}
+
+
+def _run_isolated(name: str) -> dict:
+    """Run one measurement in a FRESH subprocess.  Sharing a process degrades later
+    measurements by large factors on this backend (compiling under residual device
+    memory pressure produces pathologically slower executables — observed 1000x on the
+    L-BFGS step), so each measurement gets a clean interpreter."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--only", name],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            ours.update(measure_ours_lbfgs())
-        except Exception as e:  # never let the secondary metric kill the headline
-            ours["lbfgs_error"] = repr(e)
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"{name}: no JSON output (rc={proc.returncode}): "
+                       f"{proc.stderr[-300:]}")
+
+
+def main():
+    skip_lbfgs = os.environ.get("LSHM_BENCH_SKIP_LBFGS")
+    names = ["headline", "eval", "peak"] + ([] if skip_lbfgs else ["lbfgs"])
+    ours: dict = {}
+    for name in names:
+        try:
+            ours.update(_run_isolated(name))
+        except Exception as e:  # never let a secondary metric kill the headline
+            if name == "headline":   # fall back to in-process for the headline
+                ours.update(measure_ours())
+            else:
+                ours[f"{name}_error"] = repr(e)[:200]
     vs = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
@@ -233,4 +255,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=sorted(_MEASUREMENTS), default=None,
+                    help="run one measurement and print its JSON (subprocess mode)")
+    args = ap.parse_args()
+    if args.only:
+        print(json.dumps(_MEASUREMENTS[args.only]()))
+    else:
+        main()
