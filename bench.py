@@ -33,26 +33,41 @@ STEPS = 10                # per timing repetition
 REPS = 3                  # repetitions; report the best (dispatch-jitter robust)
 
 
-def measure_ours() -> dict:
-    from lshm_tpu.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
+def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",
+                    remat: bool = False):
+    """Shared benchmark scaffolding: flagship config + model + a random baseline-major
+    minibatch of ``batch`` patches over ``nbase`` baselines."""
+    from lshm_tpu.config import (
+        Config, DataConfig, LBFGSConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
     from lshm_tpu.models import CascadedAE
-    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
     cfg = Config(
-        data=DataConfig(batch_size=NBASELINES, patch_size=128),
+        data=DataConfig(batch_size=nbase, patch_size=128),
         model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
                           khm_backend="auto"),   # fused Pallas KHM kernel on TPU
-        optim=OptimConfig(optimizer="adam", adam_lr=1e-4),
-        train=TrainConfig(admm_iters=NADMM),
+        optim=OptimConfig(
+            optimizer=optimizer, adam_lr=1e-4,
+            lbfgs=LBFGSConfig(history_size=7, max_iter=4, line_search=True,
+                              batch_mode=True),
+        ),
+        train=TrainConfig(admm_iters=NADMM, remat=remat),
     )
     model = CascadedAE(cfg=cfg.model)
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (BATCH_PATCHES, 128, 128, 4), jnp.float32)
+    x = jax.random.normal(key, (batch, 128, 128, 4), jnp.float32)
     uv = jnp.repeat(
-        jax.random.normal(jax.random.fold_in(key, 1), (NBASELINES, 2)),
-        BATCH_PATCHES // NBASELINES, axis=0,
+        jax.random.normal(jax.random.fold_in(key, 1), (nbase, 2)),
+        batch // nbase, axis=0,
     )
-    state, tx = init_train_state(model, cfg, jax.random.fold_in(key, 2), x, uv)
+    return cfg, model, x, uv, jax.random.fold_in(key, 2)
+
+
+def measure_ours() -> dict:
+    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
+
+    cfg, model, x, uv, key = _flagship_setup(BATCH_PATCHES, NBASELINES)
+    state, tx = init_train_state(model, cfg, key, x, uv)
     step = make_train_step(model, tx, cfg, num_groups=NBASELINES, donate=True)
     w = LossWeights()
 
@@ -79,31 +94,10 @@ def measure_ours() -> dict:
 def measure_ours_lbfgs() -> dict:
     """Secondary metric: the stochastic L-BFGS ADMM step (on-device line searches),
     same unit of work as the reference's LBFGSNew mode."""
-    from lshm_tpu.config import (
-        Config, DataConfig, LBFGSConfig, ModelConfig, OptimConfig, TrainConfig,
-    )
-    from lshm_tpu.models import CascadedAE
     from lshm_tpu.train import LossWeights, init_lbfgs_train_state, make_lbfgs_train_step
 
-    cfg = Config(
-        data=DataConfig(batch_size=NBASELINES, patch_size=128),
-        model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
-                          khm_backend="auto"),
-        optim=OptimConfig(
-            optimizer="lbfgs",
-            lbfgs=LBFGSConfig(history_size=7, max_iter=4, line_search=True,
-                              batch_mode=True),
-        ),
-        train=TrainConfig(admm_iters=NADMM),
-    )
-    model = CascadedAE(cfg=cfg.model)
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (BATCH_PATCHES, 128, 128, 4), jnp.float32)
-    uv = jnp.repeat(
-        jax.random.normal(jax.random.fold_in(key, 1), (NBASELINES, 2)),
-        BATCH_PATCHES // NBASELINES, axis=0,
-    )
-    state = init_lbfgs_train_state(model, cfg, jax.random.fold_in(key, 2), x, uv)
+    cfg, model, x, uv, key = _flagship_setup(BATCH_PATCHES, NBASELINES, optimizer="lbfgs")
+    state = init_lbfgs_train_state(model, cfg, key, x, uv)
     step = make_lbfgs_train_step(model, cfg, num_groups=NBASELINES, donate=True)
     w = LossWeights()
     state, metrics = step(state, x, uv, w)
@@ -152,28 +146,12 @@ def measure_ours_eval() -> dict:
 def measure_ours_peak() -> dict:
     """Peak per-chip throughput: largest batch that fits (768 with remat; 1536 exceeds
     HBM even rematerialized — see benchmarks/scaling_report.json)."""
-    import dataclasses
-
-    from lshm_tpu.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
-    from lshm_tpu.models import CascadedAE
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
     batch = 768
     nbase = batch // 4
-    cfg = Config(
-        data=DataConfig(batch_size=nbase, patch_size=128),
-        model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
-                          khm_backend="auto"),
-        optim=OptimConfig(optimizer="adam", adam_lr=1e-4),
-        train=TrainConfig(admm_iters=NADMM, remat=True),
-    )
-    model = CascadedAE(cfg=cfg.model)
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (batch, 128, 128, 4), jnp.float32)
-    uv = jnp.repeat(
-        jax.random.normal(jax.random.fold_in(key, 1), (nbase, 2)), 4, axis=0
-    )
-    state, tx = init_train_state(model, cfg, jax.random.fold_in(key, 2), x, uv)
+    cfg, model, x, uv, key = _flagship_setup(batch, nbase, remat=True)
+    state, tx = init_train_state(model, cfg, key, x, uv)
     step = make_train_step(model, tx, cfg, num_groups=nbase, donate=True)
     w = LossWeights()
     state, m = step(state, x, uv, w)
@@ -223,14 +201,19 @@ def main():
     skip_lbfgs = os.environ.get("LSHM_BENCH_SKIP_LBFGS")
     names = ["headline", "eval", "peak"] + ([] if skip_lbfgs else ["lbfgs"])
     ours: dict = {}
+    headline_failed = False
     for name in names:
         try:
             ours.update(_run_isolated(name))
         except Exception as e:  # never let a secondary metric kill the headline
-            if name == "headline":   # fall back to in-process for the headline
-                ours.update(measure_ours())
+            if name == "headline":
+                headline_failed = True
             else:
                 ours[f"{name}_error"] = repr(e)[:200]
+    if headline_failed:
+        # in-process fallback LAST: initializing the TPU in this process would lock the
+        # chip away from the remaining isolated subprocesses
+        ours.update(measure_ours())
     vs = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:

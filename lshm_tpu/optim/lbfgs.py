@@ -191,12 +191,12 @@ def _two_loop(g, s_hist, y_hist, hist_ptr, hist_count, H_diag):
 # line searches (value-only closure; fully on-device)
 # ----------------------------------------------------------------------------------
 
-def _linesearch_backtrack(value_fn, x, d, g, alphabar, cfg: LBFGSConfig):
+def _linesearch_backtrack(value_fn, x, d, g, alphabar, cfg: LBFGSConfig, f_old):
     """Armijo backtracking with negative-step retry (reference: src/lbfgsnew.py:115-187).
-    Returns (alpha, n_evals)."""
+    ``f_old`` is the already-known loss at x (the reference re-evaluates the closure for
+    it — same value, one full forward wasted).  Returns (alpha, n_evals)."""
     c1 = cfg.ls_c1
     citer = cfg.ls_max_steps
-    f_old = value_fn(x)
     prodterm = c1 * _tdot(g, d)
 
     def probe(alpha):
@@ -275,14 +275,14 @@ def _linesearch_zoom(value_fn, x, d, a, b, phi_0, gphi_0, step, cfg: LBFGSConfig
     phi = lambda t: value_fn(_taxpy(x, t, d))
 
     def cond(c):
-        ci, aj, bj, alphaj, found = c
+        ci, aj, bj, alphaj, found, ev = c
         return (ci < 4) & (~found)
 
     def body(c):
-        ci, aj, bj, alphaj_prev, found = c
+        ci, aj, bj, alphaj_prev, found, ev = c
         p01 = aj + t2 * (bj - aj)
         p02 = bj - t3 * (bj - aj)
-        alphaj = _cubic_min(value_fn, x, d, p01, p02, step)
+        alphaj = _cubic_min(value_fn, x, d, p01, p02, step)   # 7 probes
         phi_j = phi(alphaj)
         phi_aj = phi(aj)
 
@@ -303,32 +303,35 @@ def _linesearch_zoom(value_fn, x, d, a, b, phi_0, gphi_0, step, cfg: LBFGSConfig
         # on fail: aj unchanged, bj = alphaj; on ok: aj = alphaj unless stopping
         aj_next = jnp.where(armijo_fail, aj, jnp.where(found2, aj, alphaj))
         bj_next = jnp.where(armijo_fail, alphaj, bj2)
-        return ci + 1, aj_next, bj_next, alphaj_out, found2
+        ev = ev + 9 + 2 * (1 - armijo_fail.astype(jnp.int32))
+        return ci + 1, aj_next, bj_next, alphaj_out, found2, ev
 
-    _, _, _, alphak, _ = jax.lax.while_loop(cond, body, (0, a, b, a, False))
-    return alphak
+    _, _, _, alphak, _, ev = jax.lax.while_loop(
+        cond, body, (0, a, b, a, False, jnp.asarray(0, jnp.int32))
+    )
+    return alphak, ev
 
 
-def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype):
+def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype, phi_0):
     """Strong-Wolfe cubic line search, full-batch mode
-    (reference: src/lbfgsnew.py:192-316).  Returns alpha."""
+    (reference: src/lbfgsnew.py:192-316).  ``phi_0`` is the already-known loss at x.
+    Returns (alpha, n_evals)."""
     step = cfg.cubic_step
     sigma, rho_ls, t1 = cfg.cubic_sigma, cfg.cubic_rho, cfg.cubic_t1
     alpha1 = 10.0 * lr
     phi = lambda t: value_fn(_taxpy(x, t, d))
 
-    phi_0 = value_fn(x)
     tol = jnp.minimum(phi_0 * 0.01, 1e-6)
     gphi_0 = (phi(step) - phi(-step)) / (2.0 * step)
     mu = (tol - phi_0) / (rho_ls * gphi_0)
 
     def search(_):
         def cond(c):
-            ci, alphai, alphai1, phi_prev, alphak, done = c
+            ci, alphai, alphai1, phi_prev, alphak, done, ev = c
             return (ci < 4) & (~done)
 
         def body(c):
-            ci, alphai, alphai1, phi_prev, alphak, done = c
+            ci, alphai, alphai1, phi_prev, alphak, done, ev = c
             phi_i = phi(alphai)
 
             # condition 0: below tolerance
@@ -336,17 +339,19 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype):
             # condition 1: bracket [alphai1, alphai]
             c1 = (phi_i > phi_0 + alphai * gphi_0) | ((ci > 1) & (phi_i >= phi_prev))
 
+            zero = jnp.asarray(0, jnp.int32)
+
             def early(_):
                 """c0 or c1 hit: no derivative probe needed; zoom only for c1."""
-                alphak_new = jax.lax.cond(
+                alphak_new, zev = jax.lax.cond(
                     c0,
-                    lambda _: alphai,
+                    lambda _: (alphai, zero),
                     lambda _: _linesearch_zoom(
                         value_fn, x, d, alphai1, alphai, phi_0, gphi_0, step, cfg
                     ),
                     None,
                 )
-                return alphak_new, alphai, alphai1, True
+                return alphak_new, alphai, alphai1, True, zev
 
             def late(_):
                 gphi_i = (phi(alphai + step) - phi(alphai - step)) / (2.0 * step)
@@ -354,15 +359,15 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype):
                 c3 = gphi_i >= 0.0
 
                 def stop23(_):
-                    ak = jax.lax.cond(
+                    ak, zev = jax.lax.cond(
                         c2,
-                        lambda _: alphai,
+                        lambda _: (alphai, zero),
                         lambda _: _linesearch_zoom(
                             value_fn, x, d, alphai, alphai1, phi_0, gphi_0, step, cfg
                         ),
                         None,
                     )
-                    return ak, alphai, alphai1, True
+                    return ak, alphai, alphai1, True, zev + 2
 
                 def advance(_):
                     # next interval (reference :294-301)
@@ -371,26 +376,35 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype):
                     def interp(_):
                         lo = 2.0 * alphai - alphai1
                         hi = jnp.minimum(mu, alphai + t1 * (alphai - alphai1))
-                        return _cubic_min(value_fn, x, d, lo, hi, step)
+                        return _cubic_min(value_fn, x, d, lo, hi, step), zero + 7
 
-                    ai_next = jax.lax.cond(use_mu, lambda _: mu, interp, None)
+                    ai_next, iev = jax.lax.cond(
+                        use_mu, lambda _: (mu, zero), interp, None
+                    )
                     ai1_next = jnp.where(use_mu, alphai, alphai1)
-                    return alphak, ai_next, ai1_next, False
+                    return alphak, ai_next, ai1_next, False, iev + 2
 
                 return jax.lax.cond(c2 | c3, stop23, advance, None)
 
-            alphak_new, alphai_next, alphai1_next, stop = jax.lax.cond(
+            alphak_new, alphai_next, alphai1_next, stop, bev = jax.lax.cond(
                 c0 | c1, early, late, None
             )
-            return (ci + 1, alphai_next, alphai1_next, phi_i, alphak_new, stop)
+            return (ci + 1, alphai_next, alphai1_next, phi_i, alphak_new, stop,
+                    ev + 1 + bev)
 
-        init = (1, alpha1, 0.0, phi_0, jnp.asarray(lr, fdtype), False)
-        _, _, _, _, alphak, done = jax.lax.while_loop(cond, body, init)
-        return jnp.where(done, alphak, jnp.asarray(lr, fdtype))
+        init = (1, alpha1, 0.0, phi_0, jnp.asarray(lr, fdtype), False,
+                jnp.asarray(2, jnp.int32))   # 2 evals for gphi_0
+        _, _, _, _, alphak, done, ev = jax.lax.while_loop(cond, body, init)
+        return jnp.where(done, alphak, jnp.asarray(lr, fdtype)), ev
 
     # degenerate-derivative guards (reference :232-238): return 1.0
     bad = (jnp.abs(gphi_0) < 1e-12) | jnp.isnan(mu)
-    return jax.lax.cond(bad, lambda _: jnp.ones((), fdtype), search, None)
+    return jax.lax.cond(
+        bad,
+        lambda _: (jnp.ones((), fdtype), jnp.asarray(2, jnp.int32)),
+        search,
+        None,
+    )
 
 
 # ----------------------------------------------------------------------------------
@@ -506,11 +520,12 @@ def make_lbfgs_step(
             if cfg.line_search:
                 if cfg.batch_mode:
                     t, ls_evals = _linesearch_backtrack(
-                        value_fn, x, d, g, state.alphabar, cfg
+                        value_fn, x, d, g, state.alphabar, cfg, loss
                     )
                 else:
-                    t = _linesearch_cubic(value_fn, x, d, cfg, lr, fdtype)
-                    ls_evals = jnp.asarray(0, jnp.int32)
+                    t, ls_evals = _linesearch_cubic(
+                        value_fn, x, d, cfg, lr, fdtype, loss
+                    )
                 t = jnp.where(jnp.isnan(t), jnp.asarray(lr, fdtype), t)
                 state = state.replace(
                     func_evals=state.func_evals + jnp.asarray(ls_evals, jnp.int32)

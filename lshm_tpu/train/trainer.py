@@ -140,7 +140,7 @@ class Trainer:
                 kind = cfg.optim.optimizer
             group = active_group(cfg.optim.group_schedule, epoch)
 
-            profiling = self.profile_dir is not None and epoch == 0
+            profiling = self.profile_dir is not None and epoch == start_epoch
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)
             # background host->device prefetch so the step never waits on h5py
@@ -150,6 +150,22 @@ class Trainer:
                 source = PrefetchIterator(sampler, cfg.data.prefetch)
             else:
                 source = None
+            pending = None   # (state_before, metrics, it) awaiting the finite check
+            def _settle(pending):
+                """One-step-delayed non-finite guard: by the time the next minibatch is
+                prepared on host, the previous step has usually finished on device, so
+                this sync is near-free (checking the current step would serialize
+                dispatch)."""
+                state_before, metrics, pit = pending
+                if not np.isfinite(float(np.asarray(metrics["loss"])[-1])):
+                    self._state = state_before   # drop the poisoned step
+                    print(f"warning: non-finite loss at epoch {epoch} iter {pit}; "
+                          "step reverted")
+                    return
+                if (pit % max(cfg.train.log_every, 1)) == 0:
+                    self.logger.log_step(epoch, pit, metrics,
+                                         patches=self._last_batch_shape[0])
+
             for it in range(cfg.train.iters_per_epoch):
                 mb = next(source) if source is not None else sampler.sample()
                 x = jnp.asarray(mb.x)
@@ -157,18 +173,17 @@ class Trainer:
                 self._last_batch_shape = tuple(x.shape)
                 self._ensure_state(kind, group, x, uv)
                 step = self._get_step(kind, group, mb.num_baselines)
+                if pending is not None and cfg.train.skip_nonfinite:
+                    _settle(pending)
                 prev_state = self._state if cfg.train.skip_nonfinite else None
                 with jax.profiler.StepTraceAnnotation("train_step", step_num=it):
                     self._state, metrics = step(self._state, x, uv, w)
-                if cfg.train.skip_nonfinite and not np.isfinite(
-                    float(np.asarray(metrics["loss"])[-1])
-                ):
-                    self._state = prev_state   # drop the poisoned minibatch
-                    print(f"warning: non-finite loss at epoch {epoch} iter {it}; "
-                          "minibatch skipped")
-                    continue
-                if (it % max(cfg.train.log_every, 1)) == 0:
+                if cfg.train.skip_nonfinite:
+                    pending = (prev_state, metrics, it)
+                elif (it % max(cfg.train.log_every, 1)) == 0:
                     self.logger.log_step(epoch, it, metrics, patches=x.shape[0])
+            if pending is not None and cfg.train.skip_nonfinite:
+                _settle(pending)
             if source is not None:
                 source.close()
             if profiling:
@@ -190,10 +205,17 @@ class Trainer:
         from lshm_tpu.utils.checkpoint import save_checkpoint
 
         self._sync_params()
+        if self._params is None and self._state is None:
+            print("warning: nothing to checkpoint (no training has run); skipping save")
+            return
         extras = {"config": self.cfg.to_dict(), "epoch": epoch}
         if self._state is not None:
+            ps = self.cfg.data.patch_size
+            default_shape = [1, ps, ps, self.cfg.model.num_channels]
             extras["opt_kind"] = list(self._opt_kind)
-            extras["batch_shape"] = list(getattr(self, "_last_batch_shape", []))
+            extras["batch_shape"] = list(
+                getattr(self, "_last_batch_shape", None) or default_shape
+            )
             save_checkpoint(ckpt_dir, {"full_state": self._state}, step, extras=extras)
         else:
             save_checkpoint(ckpt_dir, {"params": self._params}, step, extras=extras)
