@@ -43,7 +43,10 @@ def _build_config(args):
     cfg = preset(args.preset)
     if getattr(args, "data_dir", None):
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, data_dir=args.data_dir))
-    return _apply_overrides(cfg, args.set)
+    try:
+        return _apply_overrides(cfg, args.set)
+    except (AssertionError, ValueError, AttributeError) as e:
+        sys.exit(f"error: bad --set override: {e}")
 
 
 def cmd_train(args):
@@ -66,7 +69,10 @@ def cmd_eval(args):
 
     cfg = _build_config(args)
     t = Trainer(cfg)
-    t.load(args.ckpt)
+    try:
+        t.load(args.ckpt)
+    except FileNotFoundError as e:
+        sys.exit(f"error: no checkpoint found at {args.ckpt!r} ({e})")
     files, saps = scan_files(cfg.data.data_dir, cfg.data.file_pattern)
     if not files:
         sys.exit(f"no valid H5 data under {cfg.data.data_dir!r}")
