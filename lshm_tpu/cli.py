@@ -117,6 +117,55 @@ def cmd_demo(args):
     print(f"wrote {args.out}")
 
 
+def cmd_graph(args):
+    """Train a GNN classifier over the learned latents — the CLI form of the
+    reference's train_graph.py (line graph) / train_graph_stat.py (station graph)."""
+    import numpy as np
+
+    from lshm_tpu.data import scan_files
+    from lshm_tpu.data.h5io import read_metadata
+    from lshm_tpu.graph import (
+        build_line_graph_data,
+        build_station_graph_data,
+        station_graph_maps,
+        train_line_graph,
+        train_station_graph,
+    )
+    from lshm_tpu.train.trainer import Trainer
+
+    cfg = _build_config(args)
+    t = Trainer(cfg)
+    try:
+        t.load(args.ckpt)
+    except FileNotFoundError as e:
+        sys.exit(f"error: no checkpoint found at {args.ckpt!r} ({e})")
+    files, saps = scan_files(cfg.data.data_dir, cfg.data.file_pattern)
+    if not files:
+        sys.exit(f"no valid H5 data under {cfg.data.data_dir!r}")
+    idx = args.sap_index % len(files)
+
+    if args.kind == "line":
+        data = build_line_graph_data(
+            t.model, t.params, files[idx], saps[idx],
+            patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
+            order=cfg.model.khm_order,
+        )
+        _, _, losses = train_line_graph(data, hidden=args.hidden, epochs=args.epochs)
+    else:
+        baselines_per_sap = [
+            read_metadata(f, s, give_baselines=True)[0] for f, s in zip(files, saps)
+        ]
+        stations, bmap = station_graph_maps(baselines_per_sap)
+        data = build_station_graph_data(
+            t.model, t.params, files[idx], saps[idx], stations, bmap,
+            patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
+            order=cfg.model.khm_order,
+        )
+        _, _, losses = train_station_graph(data, epochs=args.epochs)
+    print(f"{args.kind} graph: {data.x.shape[0]} nodes, "
+          f"{data.edge_index.shape[1]} edges; loss {losses[0]:.5f} -> {losses[-1]:.5f}")
+
+
 def cmd_bench(args):
     import bench
 
@@ -166,6 +215,17 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--no-rica", action="store_true")
     p.set_defaults(fn=cmd_import_torch)
+
+    p = sub.add_parser("graph", help="train a GNN over learned latents")
+    p.add_argument("kind", choices=["line", "station"])
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--preset", default="full_khm")
+    p.add_argument("--sap-index", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--hidden", type=int, default=4)
+    _add_set(p)
+    p.set_defaults(fn=cmd_graph)
 
     p = sub.add_parser("demo", help="render a synthetic fringe spectrogram PNG")
     p.add_argument("--out", default="fringe.png")
