@@ -55,7 +55,7 @@ def cmd_train(args):
 
     cfg = _build_config(args)
     logger = MetricLogger(jsonl_path=args.log_jsonl, echo=not args.quiet)
-    t = Trainer(cfg, logger)
+    t = Trainer(cfg, logger, profile_dir=args.profile_dir)
     if args.resume:
         t.load(cfg.train.checkpoint_dir)
     summary = t.run()
@@ -150,6 +150,10 @@ def cmd_graph(args):
             patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
             order=cfg.model.khm_order,
         )
+        if args.plot:
+            from lshm_tpu.graph import draw_graph
+
+            print(f"wrote {draw_graph(data, args.plot, title='baseline line graph')}")
         _, _, losses = train_line_graph(data, hidden=args.hidden, epochs=args.epochs)
     else:
         baselines_per_sap = [
@@ -161,6 +165,10 @@ def cmd_graph(args):
             patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
             order=cfg.model.khm_order,
         )
+        if args.plot:
+            from lshm_tpu.graph import draw_graph
+
+            print(f"wrote {draw_graph(data, args.plot, title='station graph', directed=True)}")
         _, _, losses = train_station_graph(data, epochs=args.epochs)
     print(f"{args.kind} graph: {data.x.shape[0]} nodes, "
           f"{data.edge_index.shape[1]} edges; loss {losses[0]:.5f} -> {losses[-1]:.5f}")
@@ -191,6 +199,8 @@ def main(argv=None):
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first epoch here")
     _add_set(p)
     p.set_defaults(fn=cmd_train)
 
@@ -224,6 +234,9 @@ def main(argv=None):
     p.add_argument("--sap-index", type=int, default=0)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--hidden", type=int, default=4)
+    p.add_argument("--plot", default=None, metavar="PNG",
+                   help="render the graph structure before training "
+                        "(reference: src/train_graph.py:163-185)")
     _add_set(p)
     p.set_defaults(fn=cmd_graph)
 

@@ -72,6 +72,12 @@ def baseline_distance_matrix(
             )
             xs.append(patches)
             uvs.append(uv)
+        # pad the tail chunk to a full batch: a partial final chunk would otherwise
+        # re-trace _batched_features (a second multi-minute TPU compile per SAP);
+        # the [: len(chunk)] slices below discard the padded rows
+        for _ in range(baselines_per_batch - len(chunk)):
+            xs.append(xs[-1])
+            uvs.append(uvs[-1])
         ppb = xs[0].shape[0]
         x = jnp.asarray(np.concatenate(xs))
         uv = jnp.asarray(np.concatenate(uvs))

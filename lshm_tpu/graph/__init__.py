@@ -11,6 +11,7 @@ from lshm_tpu.graph.train import (
     train_line_graph,
     train_station_graph,
 )
+from lshm_tpu.graph.viz import draw_graph
 
 __all__ = [
     "line_graph_edges",
@@ -25,4 +26,5 @@ __all__ = [
     "build_station_graph_data",
     "train_line_graph",
     "train_station_graph",
+    "draw_graph",
 ]

@@ -60,6 +60,19 @@ def test_evaluate_sap_full(small_model, synth_h5, tmp_path):
     assert len(list(tmp_path.glob("b*_*.png"))) == 10
 
 
+def test_distance_matrix_single_trace(small_model, synth_h5):
+    """A partial tail chunk (10 baselines, bpb=4 -> 4+4+2) must NOT re-trace the jitted
+    feature extractor: the tail is padded to a full batch and sliced on the host."""
+    from lshm_tpu.eval.clustering import _batched_features
+
+    model, params = small_model
+    _batched_features.clear_cache()
+    baseline_distance_matrix(
+        model, params, synth_h5, "0", order=4, baselines_per_batch=4
+    )
+    assert _batched_features._cache_size() == 1
+
+
 def test_nmi():
     a = np.array([0, 0, 1, 1, 2, 2])
     assert nmi(a, a) == 1.0

@@ -117,6 +117,25 @@ def test_line_graph_end_to_end(small_model, synth_h5):
     assert np.isfinite(losses[-1])
 
 
+def test_draw_graph_artifacts(small_model, synth_h5, tmp_path):
+    """Graph-structure PNG rendering (reference: src/train_graph.py:163-185)."""
+    from lshm_tpu.data.h5io import read_metadata
+    from lshm_tpu.graph import (
+        build_station_graph_data, draw_graph, station_graph_maps,
+    )
+
+    model, params = small_model
+    data = build_line_graph_data(model, params, synth_h5, "0")
+    out = draw_graph(data, str(tmp_path / "line.png"), title="line")
+    assert (tmp_path / "line.png").stat().st_size > 0
+
+    baselines, _ = read_metadata(synth_h5, "0", give_baselines=True)
+    stations, bmap = station_graph_maps([baselines])
+    sdata = build_station_graph_data(model, params, synth_h5, "0", stations, bmap)
+    draw_graph(sdata, str(tmp_path / "stat.png"), directed=True)
+    assert (tmp_path / "stat.png").stat().st_size > 0
+
+
 @pytest.mark.slow
 def test_station_graph_end_to_end(small_model, synth_h5):
     from lshm_tpu.data.h5io import read_metadata

@@ -137,6 +137,18 @@ def test_exact_resume_roundtrip(synth_h5, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_profile_dir_trace_capture(synth_h5, tmp_path):
+    """--profile-dir captures a jax.profiler trace of the first epoch."""
+    import os
+
+    prof = str(tmp_path / "trace")
+    cfg = tiny_cfg()
+    t = Trainer(cfg, MetricLogger(echo=False), profile_dir=prof)
+    t.run(make_sampler(synth_h5, cfg))
+    hits = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert hits, f"no trace files written under {prof}"
+
+
 def test_config_override_empty_tuple():
     from lshm_tpu.config import _apply_overrides, preset
 
