@@ -91,6 +91,13 @@ class LBFGSConfig:
     tolerance_change: float = 1e-9
     line_search: bool = True
     batch_mode: bool = True           # stochastic variant with variance-damped max step
+    # Keep gradient machinery enabled during line-search probes (reference:
+    # src/lbfgsnew.py:61-69,686-693).  In the reference this is required when the cost
+    # itself consumes gradients (e.g. a gradient-norm regularizer) because probes run
+    # under torch.set_grad_enabled(False); in JAX a pure value closure may always call
+    # jax.grad internally, so False never breaks such costs — True only reproduces the
+    # reference's costlier probe path (probes evaluate value_and_grad, grad discarded).
+    cost_use_gradient: bool = False
     # backtracking line-search constants (reference: src/lbfgsnew.py:127-131)
     ls_c1: float = 1e-4
     ls_max_steps: int = 35

@@ -194,7 +194,9 @@ def _two_loop(g, s_hist, y_hist, hist_ptr, hist_count, H_diag):
 def _linesearch_backtrack(value_fn, x, d, g, alphabar, cfg: LBFGSConfig, f_old):
     """Armijo backtracking with negative-step retry (reference: src/lbfgsnew.py:115-187).
     ``f_old`` is the already-known loss at x (the reference re-evaluates the closure for
-    it — same value, one full forward wasted).  Returns (alpha, n_evals)."""
+    it — same value, one full forward wasted).  Returns (alpha, n_evals) where n_evals
+    reproduces the reference's ``state['func_evals'] += ci`` accounting exactly: only
+    halvings count, not the initial probes (reference :186)."""
     c1 = cfg.ls_c1
     citer = cfg.ls_max_steps
     prodterm = c1 * _tdot(g, d)
@@ -232,13 +234,15 @@ def _linesearch_backtrack(value_fn, x, d, g, alphabar, cfg: LBFGSConfig, f_old):
     alphak, ci = jax.lax.cond(
         (f_old - f_new) < jnp.abs(prodterm), try_negative, keep, (ci, alphak, f_new)
     )
-    # evals: f_old + one probe per halving loop entry + halvings (bounded; count approx.)
-    return alphak, ci + 2
+    return alphak, ci
 
 
 def _cubic_min(value_fn, x, d, a, b, step):
     """Cubic interpolation on [a, b] with finite-difference derivatives
-    (reference: src/lbfgsnew.py:319-405).  Returns the chosen alpha."""
+    (reference: src/lbfgsnew.py:319-405).  Returns (alpha, n_evals) where n_evals
+    reproduces the reference's accounting: 6 derivative probes + 1 for the in-range
+    cubic-minimum probe; the degenerate denom==0 early return counts 0
+    (reference :361-402, early return at :368-369 precedes the counter update)."""
     phi = lambda t: value_fn(_taxpy(x, t, d))
     f0 = phi(a)
     f0d = (phi(a + step) - phi(a - step)) / (2.0 * step)
@@ -247,6 +251,7 @@ def _cubic_min(value_fn, x, d, a, b, step):
 
     aa = 3.0 * (f0 - f1) / (b - a) + f1d - f0d
     disc = aa * aa - f0d * f1d
+    six = jnp.asarray(6, jnp.int32)
 
     def pos_branch(_):
         cc = jnp.sqrt(disc)
@@ -260,10 +265,11 @@ def _cubic_min(value_fn, x, d, a, b, step):
         out = jnp.where(
             (f0 < f1) & (f0 < fz0), a, jnp.where(f1 < fz0, b, z0)
         )
-        return jnp.where(denom == 0.0, 0.5 * (a + b), out)
+        ev = jnp.where(denom == 0.0, 0, six + in_range.astype(jnp.int32))
+        return jnp.where(denom == 0.0, 0.5 * (a + b), out), ev
 
     def neg_branch(_):
-        return jnp.where(f0 < f1, a, b)
+        return jnp.where(f0 < f1, a, b), six
 
     return jax.lax.cond(disc > 0.0, pos_branch, neg_branch, None)
 
@@ -282,7 +288,7 @@ def _linesearch_zoom(value_fn, x, d, a, b, phi_0, gphi_0, step, cfg: LBFGSConfig
         ci, aj, bj, alphaj_prev, found, ev = c
         p01 = aj + t2 * (bj - aj)
         p02 = bj - t3 * (bj - aj)
-        alphaj = _cubic_min(value_fn, x, d, p01, p02, step)   # 7 probes
+        alphaj, cev = _cubic_min(value_fn, x, d, p01, p02, step)
         phi_j = phi(alphaj)
         phi_aj = phi(aj)
 
@@ -303,7 +309,9 @@ def _linesearch_zoom(value_fn, x, d, a, b, phi_0, gphi_0, step, cfg: LBFGSConfig
         # on fail: aj unchanged, bj = alphaj; on ok: aj = alphaj unless stopping
         aj_next = jnp.where(armijo_fail, aj, jnp.where(found2, aj, alphaj))
         bj_next = jnp.where(armijo_fail, alphaj, bj2)
-        ev = ev + 9 + 2 * (1 - armijo_fail.astype(jnp.int32))
+        # reference accounting (src/lbfgsnew.py:453,468): interpolation probes + the
+        # 2 phi probes every iteration + 2 derivative probes on the non-Armijo path
+        ev = ev + cev + 2 + 2 * (1 - armijo_fail.astype(jnp.int32))
         return ci + 1, aj_next, bj_next, alphaj_out, found2, ev
 
     _, _, _, alphak, _, ev = jax.lax.while_loop(
@@ -359,6 +367,8 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype, phi_0):
                 c3 = gphi_i >= 0.0
 
                 def stop23(_):
+                    # reference: breaking at c2/c3 does not count this iteration's
+                    # probes (the `closure_evals += 3` at :306 is never reached)
                     ak, zev = jax.lax.cond(
                         c2,
                         lambda _: (alphai, zero),
@@ -367,22 +377,23 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype, phi_0):
                         ),
                         None,
                     )
-                    return ak, alphai, alphai1, True, zev + 2
+                    return ak, alphai, alphai1, True, zev
 
                 def advance(_):
-                    # next interval (reference :294-301)
+                    # next interval (reference :294-301); the advancing path counts
+                    # its 3 probes (reference :306) + the interpolation's own evals
                     use_mu = mu <= (2.0 * alphai - alphai1)
 
                     def interp(_):
                         lo = 2.0 * alphai - alphai1
                         hi = jnp.minimum(mu, alphai + t1 * (alphai - alphai1))
-                        return _cubic_min(value_fn, x, d, lo, hi, step), zero + 7
+                        return _cubic_min(value_fn, x, d, lo, hi, step)
 
                     ai_next, iev = jax.lax.cond(
                         use_mu, lambda _: (mu, zero), interp, None
                     )
                     ai1_next = jnp.where(use_mu, alphai, alphai1)
-                    return alphak, ai_next, ai1_next, False, iev + 2
+                    return alphak, ai_next, ai1_next, False, iev + 3
 
                 return jax.lax.cond(c2 | c3, stop23, advance, None)
 
@@ -390,18 +401,19 @@ def _linesearch_cubic(value_fn, x, d, cfg: LBFGSConfig, lr, fdtype, phi_0):
                 c0 | c1, early, late, None
             )
             return (ci + 1, alphai_next, alphai1_next, phi_i, alphak_new, stop,
-                    ev + 1 + bev)
+                    ev + bev)
 
         init = (1, alpha1, 0.0, phi_0, jnp.asarray(lr, fdtype), False,
-                jnp.asarray(2, jnp.int32))   # 2 evals for gphi_0
+                jnp.asarray(3, jnp.int32))   # reference :243: phi_0 + 2 gphi_0 probes
         _, _, _, _, alphak, done, ev = jax.lax.while_loop(cond, body, init)
         return jnp.where(done, alphak, jnp.asarray(lr, fdtype)), ev
 
-    # degenerate-derivative guards (reference :232-238): return 1.0
+    # degenerate-derivative guards (reference :232-238): return 1.0; the early returns
+    # precede the reference's counter update, so they count 0 evals
     bad = (jnp.abs(gphi_0) < 1e-12) | jnp.isnan(mu)
     return jax.lax.cond(
         bad,
-        lambda _: (jnp.ones((), fdtype), jnp.asarray(2, jnp.int32)),
+        lambda _: (jnp.ones((), fdtype), jnp.asarray(0, jnp.int32)),
         search,
         None,
     )
@@ -434,8 +446,13 @@ def make_lbfgs_step(
     lm0 = cfg.trust_region_lm0
 
     def step(x, state: LBFGSState, *args) -> LBFGSResult:
-        value_fn = lambda v: value_fn_outer(v, *args)
         value_and_grad_fn = lambda v: value_and_grad_fn_outer(v, *args)
+        if cfg.cost_use_gradient:
+            # reference parity: probes run with gradient machinery enabled
+            # (src/lbfgsnew.py:686-693); the probe value is identical, only costlier
+            value_fn = lambda v: value_and_grad_fn_outer(v, *args)[0]
+        else:
+            value_fn = lambda v: value_fn_outer(v, *args)
         fdtype = _dtype_of(x)
         loss0, g0 = value_and_grad_fn(x)
         state = state.replace(func_evals=state.func_evals + 1)

