@@ -89,12 +89,26 @@ def cmd_eval(args):
 
 def cmd_import_torch(args):
     from lshm_tpu.utils.checkpoint import save_checkpoint
-    from lshm_tpu.utils.torch_import import load_reference_checkpoints
+    from lshm_tpu.utils.torch_import import (
+        load_reference_checkpoints,
+        load_reference_checkpoints_fourier,
+    )
 
-    params = load_reference_checkpoints(args.net, args.net_t, args.net_f, args.khm,
-                                        rica=not args.no_rica)
+    if args.fnet:
+        if args.net_t or args.net_f:
+            sys.exit("error: pass either --fnet (legacy Fourier trio) or "
+                     "--net-t/--net-f (current pipeline), not both")
+        params = load_reference_checkpoints_fourier(args.net, args.fnet, args.khm,
+                                                    rica=not args.no_rica)
+    else:
+        if not (args.net_t and args.net_f):
+            sys.exit("error: --net-t and --net-f are required (or --fnet for the "
+                     "legacy Fourier trio)")
+        params = load_reference_checkpoints(args.net, args.net_t, args.net_f, args.khm,
+                                            rica=not args.no_rica)
     save_checkpoint(args.out, {"params": params}, step=0,
-                    extras={"source": "torch-reference"})
+                    extras={"source": "torch-reference",
+                            "fourier_variant": bool(args.fnet)})
     print(f"imported reference checkpoints -> {args.out}")
 
 
@@ -219,8 +233,10 @@ def main(argv=None):
 
     p = sub.add_parser("import-torch", help="convert reference .model checkpoints")
     p.add_argument("--net", required=True)
-    p.add_argument("--net-t", required=True)
-    p.add_argument("--net-f", required=True)
+    p.add_argument("--net-t", default=None)
+    p.add_argument("--net-f", default=None)
+    p.add_argument("--fnet", default=None,
+                   help="legacy Fourier-space AE (net/fnet/khm trio, Demo.ipynb)")
     p.add_argument("--khm", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--no-rica", action="store_true")

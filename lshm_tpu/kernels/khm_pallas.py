@@ -1,12 +1,17 @@
 """Fused Pallas TPU kernel for the K-harmonic-means clustering loss.
 
-One VMEM-resident pass computes pairwise distances (MXU matmul), the p-th-power harmonic
+A VMEM-resident pass computes pairwise distances (MXU matmul), the p-th-power harmonic
 mean, and the scalar loss; the custom VJP computes both parameter gradients with two more
 MXU matmuls — no [N, K] intermediates ever round-trip through HBM.  The reference computes
 this loss with a Python double loop over batch x clusters (reference:
 src/lofar_models.py:199-209); the XLA fallback (lshm_tpu.losses.khm_loss) is already a
 single fused expression, so this kernel is *benchmark-gated*: ``khm_loss_fused`` uses it
 only on TPU backends (interpret mode elsewhere keeps tests hermetic).
+
+The patch axis is tiled: the grid walks [N] in VMEM-sized blocks of ``_BLOCK_N`` rows
+(scalar loss and the [K, D] centroid gradient accumulate across sequential grid steps;
+TPU grids are sequential so += on a same-block output is the standard reduction idiom),
+so the kernel serves arbitrarily large patch batches — the tail block is masked.
 
 Math (p even, the shipped Khp=4 case):
     d2[i,k] = ||x_i - m_k||^2,  t = d2^(p/2) + eps,  e_i = sum_k 1/t_ik
@@ -31,10 +36,18 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 EPS = 1e-9
+_BLOCK_N = 1024          # rows per grid step: [1024, D=256] f32 = 1 MiB of VMEM per input
 
 
 def khm_loss_pallas_available() -> bool:
     return _HAS_PLTPU and jax.default_backend() == "tpu"
+
+
+def _block_rows(n: int) -> int:
+    """Tile size over the patch axis: whole-array when small (one grid step), else
+    _BLOCK_N; rounded up to the f32 sublane multiple of 8."""
+    bn = min(n, _BLOCK_N)
+    return (bn + 7) // 8 * 8
 
 
 def _ipow(x, n: int):
@@ -46,65 +59,91 @@ def _ipow(x, n: int):
     return acc
 
 
-def _fwd_kernel(p: int, x_ref, m_ref, loss_ref, e_ref):
+def _masked_rows(x_ref, n_total: int):
+    """Load a block, zeroing rows that lie beyond the true array end (tail padding)."""
     X = x_ref[:]
+    bn = X.shape[0]
+    row = pl.program_id(0) * bn + jax.lax.broadcasted_iota(jnp.int32, (bn, 1), 0)
+    valid = row < n_total
+    return jnp.where(valid, X, 0.0), valid
+
+
+def _fwd_kernel(p: int, n_total: int, x_ref, m_ref, loss_ref, e_ref):
+    X, valid = _masked_rows(x_ref, n_total)
     M = m_ref[:]
-    N, D = X.shape
+    _, D = X.shape
     K = M.shape[0]
     xx = jnp.sum(X * X, axis=-1, keepdims=True)
     mm = jnp.sum(M * M, axis=-1)[None, :]
     xm = jnp.dot(X, M.T, preferred_element_type=jnp.float32)
     d2 = jnp.maximum(xx + mm - 2.0 * xm, 0.0)
     t = _ipow(d2, p // 2) + EPS
-    e = jnp.sum(1.0 / t, axis=-1, keepdims=True)            # [N, 1]
+    e = jnp.sum(1.0 / t, axis=-1, keepdims=True)            # [BN, 1]
     e_ref[:] = e
-    loss_ref[0, 0] = jnp.sum(K / (e + EPS)) / (N * K * D)
+    part = jnp.sum(jnp.where(valid, K / (e + EPS), 0.0)) / (n_total * K * D)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        loss_ref[0, 0] = 0.0
+
+    loss_ref[0, 0] += part
 
 
-def _bwd_kernel(p: int, x_ref, m_ref, e_ref, g_ref, dx_ref, dm_ref):
-    X = x_ref[:]
+def _bwd_kernel(p: int, n_total: int, x_ref, m_ref, e_ref, g_ref, dx_ref, dm_ref):
+    X, valid = _masked_rows(x_ref, n_total)
     M = m_ref[:]
-    e = e_ref[:]                                             # [N, 1]
+    e = e_ref[:]                                             # [BN, 1]
     g = g_ref[0, 0]
-    N, D = X.shape
+    _, D = X.shape
     xx = jnp.sum(X * X, axis=-1, keepdims=True)
     mm = jnp.sum(M * M, axis=-1)[None, :]
     xm = jnp.dot(X, M.T, preferred_element_type=jnp.float32)
     d2 = jnp.maximum(xx + mm - 2.0 * xm, 0.0)
     t = _ipow(d2, p // 2) + EPS
     pow_term = _ipow(d2, p // 2 - 1) if p > 2 else jnp.ones_like(d2)
-    c = (p * pow_term) / ((N * D) * (e + EPS) ** 2 * t * t)  # [N, K]
-    c = c * g
-    crow = jnp.sum(c, axis=-1, keepdims=True)                # [N, 1]
+    c = (p * pow_term) / ((n_total * D) * (e + EPS) ** 2 * t * t)  # [BN, K]
+    c = jnp.where(valid, c * g, 0.0)
+    crow = jnp.sum(c, axis=-1, keepdims=True)                # [BN, 1]
     ccol = jnp.sum(c, axis=0)[:, None]                       # [K, 1]
     dx_ref[:] = crow * X - jnp.dot(c, M, preferred_element_type=jnp.float32)
-    dm_ref[:] = ccol * M - jnp.dot(c.T, X, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dm_ref[:] = jnp.zeros_like(dm_ref)
+
+    dm_ref[:] += ccol * M - jnp.dot(c.T, X, preferred_element_type=jnp.float32)
+
+
+def _spaces(vmem, smem, interpret: bool):
+    """(VMEM, SMEM) memory-space kwargs, or empty dicts in interpret mode."""
+    if _HAS_PLTPU and not interpret:
+        return {"memory_space": vmem}, {"memory_space": smem}
+    return {}, {}
 
 
 def _call_fwd(X, M, p: int, interpret: bool):
     N, D = X.shape
-    kernel = functools.partial(_fwd_kernel, p)
-    if _HAS_PLTPU and not interpret:
-        specs = dict(
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ),
-        )
-    else:
-        specs = {}
+    K = M.shape[0]
+    bn = _block_rows(N)
+    grid = (pl.cdiv(N, bn),)
+    vm, sm = _spaces(pltpu.VMEM if _HAS_PLTPU else None,
+                     pltpu.SMEM if _HAS_PLTPU else None, interpret)
     loss, e = pl.pallas_call(
-        kernel,
+        functools.partial(_fwd_kernel, p, N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, D), lambda i: (i, 0), **vm),
+            pl.BlockSpec((K, D), lambda i: (0, 0), **vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), **sm),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0), **vm),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
         ),
         interpret=interpret,
-        **specs,
     )(X, M)
     return loss[0, 0], e
 
@@ -112,30 +151,28 @@ def _call_fwd(X, M, p: int, interpret: bool):
 def _call_bwd(X, M, e, g, p: int, interpret: bool):
     N, D = X.shape
     K = M.shape[0]
-    kernel = functools.partial(_bwd_kernel, p)
-    if _HAS_PLTPU and not interpret:
-        specs = dict(
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ),
-        )
-    else:
-        specs = {}
+    bn = _block_rows(N)
+    grid = (pl.cdiv(N, bn),)
+    vm, sm = _spaces(pltpu.VMEM if _HAS_PLTPU else None,
+                     pltpu.SMEM if _HAS_PLTPU else None, interpret)
     dx, dm = pl.pallas_call(
-        kernel,
+        functools.partial(_bwd_kernel, p, N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, D), lambda i: (i, 0), **vm),
+            pl.BlockSpec((K, D), lambda i: (0, 0), **vm),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0), **vm),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), **sm),
+        ],
+        out_specs=(
+            pl.BlockSpec((bn, D), lambda i: (i, 0), **vm),
+            pl.BlockSpec((K, D), lambda i: (0, 0), **vm),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((N, D), jnp.float32),
             jax.ShapeDtypeStruct((K, D), jnp.float32),
         ),
         interpret=interpret,
-        **specs,
     )(X, M, e, g.reshape(1, 1))
     return dx, dm
 

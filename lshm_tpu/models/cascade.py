@@ -22,6 +22,7 @@ config (`ModelConfig.fourier_variant`).
 from __future__ import annotations
 
 from dataclasses import field
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
@@ -49,13 +50,44 @@ class CascadeOutputs:
     yf_out: jnp.ndarray | None = None  # Fourier-space AE recon  [N, P, P, 2C]
 
 
+def _dft_mats(n: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) parts of the orthonormal n-point DFT matrix F = (C + iS)/1,
+    F[j,k] = exp(-2*pi*i*j*k/n)/sqrt(n).  F is symmetric."""
+    k = jnp.arange(n, dtype=jnp.int32)
+    # reduce j*k mod n in exact integer arithmetic BEFORE the trig: angles stay in
+    # [0, 2*pi), so f32 cos/sin keep full precision (raw angles reach ~800 rad at
+    # n=128 and lose ~4 digits to argument reduction)
+    m = (jnp.outer(k, k) % n).astype(dtype)
+    ang = (-2.0 * jnp.pi / n) * m
+    s = 1.0 / jnp.sqrt(jnp.asarray(n, dtype))
+    return jnp.cos(ang) * s, jnp.sin(ang) * s
+
+
 def fft2_shifted(x: jnp.ndarray) -> jnp.ndarray:
     """Orthonormal 2D FFT over the spatial dims of NHWC + fftshift, returned as
     real/imag channel pairs [N, P, P, 2C] (reference: src/lofar_tools.py:24-30 and the
-    notebooks' torch.fft.fftn(dim=(2,3), norm='ortho'))."""
-    xf = jnp.fft.fft2(x, axes=(1, 2), norm="ortho")
-    xf = jnp.fft.fftshift(xf, axes=(1, 2))
-    return jnp.concatenate([xf.real, xf.imag], axis=-1)
+    notebooks' torch.fft.fftn(dim=(2,3), norm='ortho')).
+
+    Computed as dense DFT matmuls rather than the FFT HLO: at the fixed P=128 patch
+    size the transform is six [P, P] x [P, N*P*C] f32 matmuls — an MXU-native shape
+    that fuses with the surrounding cascade, differentiates as matmuls, and avoids the
+    FFT op entirely (numerically verified against jnp.fft in tests)."""
+    n, h, w, c = x.shape
+    hp = jax.lax.Precision.HIGHEST           # keep f32 accumulation on the MXU
+    Ch, Sh = _dft_mats(h, x.dtype)
+    Cw, Sw = _dft_mats(w, x.dtype)
+    # axis 1 (h): y = F_h @ x (x real)
+    yre = jnp.einsum("hk,nkwc->nhwc", Ch, x, precision=hp)
+    yim = jnp.einsum("hk,nkwc->nhwc", Sh, x, precision=hp)
+    # axis 2 (w): z = y @ F_w (F symmetric)
+    zre = (jnp.einsum("nhkc,kw->nhwc", yre, Cw, precision=hp)
+           - jnp.einsum("nhkc,kw->nhwc", yim, Sw, precision=hp))
+    zim = (jnp.einsum("nhkc,kw->nhwc", yre, Sw, precision=hp)
+           + jnp.einsum("nhkc,kw->nhwc", yim, Cw, precision=hp))
+    # fftshift = roll by n//2 on both spatial dims (reference: src/lofar_tools.py:24-30)
+    zre = jnp.roll(zre, (h // 2, w // 2), axis=(1, 2))
+    zim = jnp.roll(zim, (h // 2, w // 2), axis=(1, 2))
+    return jnp.concatenate([zre, zim], axis=-1)
 
 
 class CascadedAE(nn.Module):

@@ -50,15 +50,24 @@ class LossWeights:
 @struct.dataclass
 class Duals:
     """ADMM Lagrange multipliers, one per AE consistency constraint; reset to zero per
-    minibatch (reference: src/kharmonic_lofar.py:128-130)."""
+    minibatch (reference: src/kharmonic_lofar.py:128-130).
+
+    For the legacy Fourier variant the second constraint lives in Fourier space where
+    the residual has 2C channels (real+imag stacks), so ``y2`` is sized to the FULL
+    Fourier residual (2 * numel) and ``y3`` is empty (there is no third AE).  The
+    reference notebooks never define ADMM for that pipeline (Demo.ipynb cells 6 & 10
+    are inference-only), so this is a specified deviation — see README deviations."""
 
     y1: jnp.ndarray
     y2: jnp.ndarray
     y3: jnp.ndarray
 
     @classmethod
-    def zeros(cls, numel: int, dtype=jnp.float32) -> "Duals":
+    def zeros(cls, numel: int, dtype=jnp.float32, fourier: bool = False) -> "Duals":
         z = jnp.zeros((numel,), dtype)
+        if fourier:
+            return cls(y1=z, y2=jnp.zeros((2 * numel,), dtype),
+                       y3=jnp.zeros((0,), dtype))
         return cls(y1=z, y2=z, y3=z)
 
 
@@ -83,9 +92,11 @@ def cascade_objective(
     loss1 = admm_term(duals.y1, x - out.x1, w.rho) / numel
     if out.yf_in is not None:
         # legacy Fourier variant: the second AE reconstructs the FFT features; its
-        # consistency terms act in Fourier space.
+        # consistency term constrains the FULL 2C-channel Fourier residual, normalized
+        # by that residual's own numel (specified deviation — the reference notebooks
+        # are inference-only and never define ADMM here).
         loss0 = loss0 + mse_sum(out.yf_out, out.yf_in) / out.yf_in.size
-        loss2 = admm_term(duals.y2, (out.yf_in - out.yf_out)[..., : x.shape[-1]], w.rho) / numel
+        loss2 = admm_term(duals.y2, out.yf_in - out.yf_out, w.rho) / out.yf_in.size
         loss3 = jnp.zeros(())
         latents = (out.mu, out.muT)
     else:
@@ -130,8 +141,8 @@ def metrics_and_dual_update(
     loss1 = admm_term(duals.y1, x - out.x1, w.rho) / numel
     if out.yf_in is not None:
         loss0 = loss0 + mse_sum(out.yf_out, out.yf_in) / out.yf_in.size
-        r2 = (out.yf_in - out.yf_out)[..., : x.shape[-1]]
-        loss2 = admm_term(duals.y2, r2, w.rho) / numel
+        r2 = out.yf_in - out.yf_out
+        loss2 = admm_term(duals.y2, r2, w.rho) / out.yf_in.size
         loss3 = jnp.zeros(())
         latents = (out.mu, out.muT)
         new_duals = Duals(
@@ -187,7 +198,7 @@ def loss_from_outputs(
     loss1 = admm_term(duals.y1, x - out.x1, w.rho) / numel
     if out.yf_in is not None:
         loss0 = loss0 + mse_sum(out.yf_out, out.yf_in) / out.yf_in.size
-        loss2 = admm_term(duals.y2, (out.yf_in - out.yf_out)[..., : x.shape[-1]], w.rho) / numel
+        loss2 = admm_term(duals.y2, out.yf_in - out.yf_out, w.rho) / out.yf_in.size
         loss3 = jnp.zeros(())
         latents = (out.mu, out.muT)
     else:
@@ -221,7 +232,7 @@ def loss_from_outputs(
 def dual_update_from_outputs(out, x: jnp.ndarray, duals: Duals, rho) -> Duals:
     """y_k <- y_k + rho * residual_k computed from an existing forward's outputs."""
     if out.yf_in is not None:
-        r2 = (out.yf_in - out.yf_out)[..., : x.shape[-1]]
+        r2 = out.yf_in - out.yf_out
         return Duals(
             y1=duals.y1 + rho * (x - out.x1).reshape(-1),
             y2=duals.y2 + rho * r2.reshape(-1),
@@ -239,7 +250,7 @@ def dual_update(model, params, x, uv, duals: Duals, rho) -> Duals:
     (reference: src/kharmonic_lofar.py:186-202)."""
     out = model.apply(params, x, uv)
     if out.yf_in is not None:
-        r2 = (out.yf_in - out.yf_out)[..., : x.shape[-1]]
+        r2 = out.yf_in - out.yf_out
         return Duals(
             y1=duals.y1 + rho * (x - out.x1).reshape(-1),
             y2=duals.y2 + rho * r2.reshape(-1),

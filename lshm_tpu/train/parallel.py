@@ -88,7 +88,7 @@ def make_train_step_shard_map(
     def body(state, x_local, uv_local, w):
         import optax
 
-        duals = Duals.zeros(x_local.size, x_local.dtype)
+        duals = Duals.zeros(x_local.size, x_local.dtype, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):
             params, opt_state, duals = carry

@@ -100,7 +100,7 @@ def make_train_step(
     grad_fn = jax.value_and_grad(objective, has_aux=True)
 
     def train_step_unfused(state: TrainState, x, uv, w: LossWeights):
-        duals = Duals.zeros(x.size, x.dtype)
+        duals = Duals.zeros(x.size, x.dtype, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):
             params, opt_state, duals = carry
@@ -135,7 +135,7 @@ def make_train_step(
     )
 
     def train_step_fused(state: TrainState, x, uv, w: LossWeights):
-        duals0 = Duals.zeros(x.size, x.dtype)
+        duals0 = Duals.zeros(x.size, x.dtype, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, t):
             params, opt_state, duals = carry
@@ -238,7 +238,7 @@ def make_lbfgs_train_step(
     lbfgs_step = make_lbfgs_step(vg_fn, value_fn, cfg.optim.lbfgs)
 
     def train_step(state: LBFGSTrainState, x, uv, w: LossWeights):
-        duals = Duals.zeros(x.size, x.dtype)
+        duals = Duals.zeros(x.size, x.dtype, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):
             params, opt_state, duals = carry

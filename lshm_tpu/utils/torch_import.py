@@ -115,3 +115,18 @@ def load_reference_checkpoints(
             "khm": convert_khm(_load_state_dict(khm_path)),
         }
     }
+
+
+def load_reference_checkpoints_fourier(
+    net_path: str, fnet_path: str, khm_path: str, rica: bool = True
+) -> dict:
+    """Build the legacy-Fourier CascadedAE params pytree from the notebook-era trio
+    ``net.model`` / ``fnet.model`` / ``khm.model`` (reference: Demo.ipynb cell 6 —
+    the published models.zip ships exactly these three files)."""
+    return {
+        "params": {
+            "ae2d": convert_autoencoder(_load_state_dict(net_path), 2, rica),
+            "aef": convert_autoencoder(_load_state_dict(fnet_path), 2, rica),
+            "khm": convert_khm(_load_state_dict(khm_path)),
+        }
+    }

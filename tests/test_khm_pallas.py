@@ -40,6 +40,44 @@ def test_gradients_match_xla():
     np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_want), rtol=2e-4, atol=1e-8)
 
 
+def test_tiled_grid_large_batch():
+    """N=4096 spans 4 grid blocks of 1024: scalar loss and centroid grads must
+    accumulate across sequential grid steps."""
+    X, M = _data(n=4096, d=256, k=10, seed=5)
+    want = float(khm_loss(X, M, 4))
+    got = float(khm_loss_fused(X, M, 4, force="interpret"))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    gx_want, gm_want = jax.grad(lambda x, m: khm_loss(x, m, 4), argnums=(0, 1))(X, M)
+    gx, gm = jax.grad(
+        lambda x, m: khm_loss_fused(x, m, 4, force="interpret"), argnums=(0, 1)
+    )(X, M)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_want), rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_want), rtol=2e-4, atol=1e-8)
+
+
+def test_tiled_grid_ragged_tail():
+    """N=2500 = 2 full blocks + a 452-row tail: padded rows must not contribute to the
+    loss, e, dx, or the accumulated dm."""
+    X, M = _data(n=2500, d=256, k=6, seed=6)
+    want = float(khm_loss(X, M, 4))
+    got = float(khm_loss_fused(X, M, 4, force="interpret"))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    gx_want, gm_want = jax.grad(lambda x, m: khm_loss(x, m, 4), argnums=(0, 1))(X, M)
+    gx, gm = jax.grad(
+        lambda x, m: khm_loss_fused(x, m, 4, force="interpret"), argnums=(0, 1)
+    )(X, M)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_want), rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_want), rtol=2e-4, atol=1e-8)
+
+
+def test_small_batch_unaligned():
+    """N smaller than one sublane tile (rounds 5 -> block of 8): masking handles it."""
+    X, M = _data(n=5, d=128, k=3, seed=7)
+    want = float(khm_loss(X, M, 4))
+    got = float(khm_loss_fused(X, M, 4, force="interpret"))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_odd_p_falls_back():
     X, M = _data(n=8, d=16, k=3, seed=3)
     got = float(khm_loss_fused(X, M, 3))
