@@ -53,6 +53,12 @@ def cmd_train(args):
     from lshm_tpu.train.trainer import Trainer
     from lshm_tpu.utils.metrics import MetricLogger
 
+    if args.coordinator or args.num_processes:
+        from lshm_tpu.train.distributed import init_distributed
+
+        n = init_distributed(args.coordinator, args.num_processes, args.process_id)
+        if not args.quiet:
+            print(f"distributed: {n} process(es)")
     cfg = _build_config(args)
     logger = MetricLogger(jsonl_path=args.log_jsonl, echo=not args.quiet)
     t = Trainer(cfg, logger, profile_dir=args.profile_dir)
@@ -215,6 +221,11 @@ def main(argv=None):
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first epoch here")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address "
+                        "(or env JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     _add_set(p)
     p.set_defaults(fn=cmd_train)
 

@@ -1,0 +1,102 @@
+"""Multi-host (multi-process) data parallelism, tested hermetically with two CPU
+processes: jax.distributed bootstrap, disjoint per-host sampler streams
+(lshm_tpu/data/sampler.py process_index rng fold), and cross-process gradient
+all-reduce on a global mesh (the SURVEY.md §5 per-host-shard plan)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lshm_tpu.train.distributed import init_distributed
+pid, port, data_dir, out = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+n = init_distributed(f"localhost:{port}", 2, pid)
+assert n == 2 and jax.process_count() == 2, (n, jax.process_count())
+
+import numpy as np
+import jax.numpy as jnp
+from lshm_tpu.config import DataConfig
+from lshm_tpu.data import MinibatchSampler, scan_files
+
+# 1. per-host sampler stream: process_index picked up automatically
+files, saps = scan_files(data_dir, "L*.MS_extract.h5")
+s = MinibatchSampler(files, saps, DataConfig(batch_size=2, data_dir=data_dir), seed=0)
+assert s._process_index == pid
+hashes = [float(np.abs(s.sample().x).sum()) for _ in range(3)]
+
+# 2. cross-process gradient all-reduce: global batch sharded over the 4 global
+# devices (2 per process); the jitted grad must equal the full-batch grad on BOTH
+# hosts (the all-reduce is the only way each host sees the other's rows)
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+rng = np.random.default_rng(5)                    # identical on both hosts
+Xg = rng.normal(size=(8, 4)).astype(np.float32)
+yg = rng.normal(size=(8,)).astype(np.float32)
+W = jnp.ones((4, 3))
+
+shard = NamedSharding(mesh, P("data"))
+nloc = 8 // jax.process_count()
+lo = pid * nloc
+X = jax.make_array_from_process_local_data(shard, Xg[lo:lo + nloc], (8, 4))
+y = jax.make_array_from_process_local_data(shard, yg[lo:lo + nloc], (8,))
+
+def loss(w, X, y):
+    r = X @ w - y[:, None]
+    return jnp.mean(r * r)
+
+g = np.asarray(jax.device_get(jax.jit(jax.grad(loss))(W, X, y)))
+want = np.asarray(jax.grad(lambda w: loss(w, jnp.asarray(Xg), jnp.asarray(yg)))(W))
+json.dump({"pid": pid, "process_count": int(jax.process_count()),
+           "hashes": hashes, "grad_err": float(np.abs(g - want).max())},
+          open(out, "w"))
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel(synth_h5, tmp_path):
+    port = _free_port()
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    data_dir = os.path.dirname(synth_h5)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"out{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(child), str(pid), str(port), data_dir, str(out)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    results = []
+    for p, out in zip(procs, outs):
+        stdout, stderr = p.communicate(timeout=420)
+        assert p.returncode == 0, f"child failed:\n{stdout}\n{stderr[-2000:]}"
+        results.append(json.load(open(out)))
+
+    assert all(r["process_count"] == 2 for r in results)
+    # hosts draw DISJOINT minibatch streams
+    assert not set(results[0]["hashes"]) & set(results[1]["hashes"]), results
+    # both hosts see the globally-reduced gradient
+    assert all(r["grad_err"] < 1e-5 for r in results), results
