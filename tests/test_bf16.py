@@ -39,6 +39,46 @@ def test_bf16_forward_close_to_f32_and_params_f32():
     assert diff < 0.15 * scale + 0.1, (diff, scale)
 
 
+def test_bf16_loss_terms_close_to_f32():
+    """Accuracy gate for the bf16 benchmark path: every loss term of the first ADMM
+    iteration must agree with f32 within bf16 resolution."""
+    from lshm_tpu.train.objective import Duals, cascade_objective
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 128, 128, 4))
+    uv = jnp.repeat(jax.random.normal(jax.random.PRNGKey(6), (2, 2)), 2, axis=0)
+    m32 = CascadedAE(cfg=_cfg("float32").model)
+    m16 = CascadedAE(cfg=_cfg("bfloat16").model)
+    params = m32.init(jax.random.PRNGKey(7), x, uv)
+    duals = Duals.zeros(x.size)
+    w = LossWeights()
+    _, t32 = cascade_objective(m32, params, x, uv, duals, w, 2)
+    _, t16 = cascade_objective(m16, params, x, uv, duals, w, 2)
+    for k in t32:
+        a, b = float(t32[k]), float(t16[k])
+        assert abs(a - b) <= 0.05 * abs(a) + 5e-3, (k, a, b)
+
+
+def test_bf16_nmi_vs_f32(synth_h5):
+    """NMI gate: soft cluster assignments from the bf16 cascade must match the f32
+    assignments on the synthetic SAP (the BASELINE.md parity statistic)."""
+    import numpy as np
+
+    from lshm_tpu.eval import baseline_distance_matrix, nmi
+
+    cfg32 = _cfg("float32").model
+    import dataclasses
+
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    m32, m16 = CascadedAE(cfg=cfg32), CascadedAE(cfg=cfg16)
+    params = m32.init(jax.random.PRNGKey(8), jnp.zeros((1, 128, 128, 4)),
+                      jnp.zeros((1, 2)))
+    X32, _ = baseline_distance_matrix(m32, params, synth_h5, "0", baselines_per_batch=5)
+    X16, _ = baseline_distance_matrix(m16, params, synth_h5, "0", baselines_per_batch=5)
+    soft32 = np.argmin(X32, axis=0)
+    soft16 = np.argmin(X16, axis=0)
+    assert nmi(soft32, soft16) >= 0.95, (soft32, soft16)
+
+
 def test_bf16_train_step_finite():
     cfg = _cfg("bfloat16")
     model = CascadedAE(cfg=cfg.model)
