@@ -34,7 +34,7 @@ REPS = 3                  # repetitions; report the best (dispatch-jitter robust
 
 
 def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",
-                    remat: bool = False):
+                    remat: bool = False, compute_dtype: str = "float32"):
     """Shared benchmark scaffolding: flagship config + model + a random baseline-major
     minibatch of ``batch`` patches over ``nbase`` baselines."""
     from lshm_tpu.config import (
@@ -45,7 +45,8 @@ def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",
     cfg = Config(
         data=DataConfig(batch_size=nbase, patch_size=128),
         model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
-                          khm_backend="auto"),   # fused Pallas KHM kernel on TPU
+                          khm_backend="auto",    # fused Pallas KHM kernel on TPU
+                          compute_dtype=compute_dtype),
         optim=OptimConfig(
             optimizer=optimizer, adam_lr=1e-4,
             lbfgs=LBFGSConfig(history_size=7, max_iter=4, line_search=True,
@@ -64,6 +65,8 @@ def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",
 
 
 def measure_ours() -> dict:
+    """Headline measurement: the f32 flagship step alone in the process (a second
+    compiled executable in the same process slows both by ~30%+ on this backend)."""
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
     cfg, model, x, uv, key = _flagship_setup(BATCH_PATCHES, NBASELINES)
@@ -88,6 +91,45 @@ def measure_ours() -> dict:
         "final_loss": float(metrics["loss"][-1]),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+    }
+
+
+def measure_dtype_compare() -> dict:
+    """f32 vs bf16 at the headline unit of work, timed with INTERLEAVED reps in one
+    process.  Run-to-run relay/host drift on this backend reaches +-50% — far above
+    the f32/bf16 gap — so dtype comparisons from separate subprocesses minutes apart
+    are meaningless; interleaving cancels the drift.  Both executables sharing the
+    process run ~30% slower than standalone, so these numbers are for the RATIO only
+    (the headline absolute number comes from measure_ours)."""
+    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
+
+    w = LossWeights()
+    runs = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg, model, x, uv, key = _flagship_setup(BATCH_PATCHES, NBASELINES,
+                                                 compute_dtype=dtype)
+        state, tx = init_train_state(model, cfg, key, x, uv)
+        step = make_train_step(model, tx, cfg, num_groups=NBASELINES, donate=True)
+        state, metrics = step(state, x, uv, w)       # compile + warmup
+        jax.block_until_ready(metrics["loss"])
+        runs[dtype] = {"step": step, "state": state, "x": x, "uv": uv,
+                       "metrics": metrics, "times": []}
+
+    for _ in range(REPS):
+        for r in runs.values():                      # interleave dtypes per rep
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                r["state"], r["metrics"] = r["step"](r["state"], r["x"], r["uv"], w)
+            jax.block_until_ready(r["metrics"]["loss"])
+            r["times"].append((time.perf_counter() - t0) / (STEPS * NADMM))
+
+    f32 = min(runs["float32"]["times"])
+    b16 = min(runs["bfloat16"]["times"])
+    return {
+        "dtype_f32_us_per_admm_iter": f32 * 1e6,
+        "dtype_bf16_us_per_admm_iter": b16 * 1e6,
+        "dtype_bf16_speedup_vs_f32": f32 / b16,
+        "dtype_bf16_final_loss": float(runs["bfloat16"]["metrics"]["loss"][-1]),
     }
 
 
@@ -143,14 +185,17 @@ def measure_ours_eval() -> dict:
     return {"eval_patches_per_sec": n / best, "eval_sec_per_batch": best}
 
 
-def measure_ours_peak() -> dict:
-    """Peak per-chip throughput: largest batch that fits (768 with remat; 1536 exceeds
-    HBM even rematerialized — see benchmarks/scaling_report.json)."""
+def measure_ours_peak(compute_dtype: str = "float32", remat: bool = True,
+                      key_prefix: str = "") -> dict:
+    """Peak per-chip throughput: largest batch that fits (f32 requires remat at 768;
+    bf16 activations fit 768 un-rematerialized; 1536 exceeds HBM either way — see
+    benchmarks/scaling_report.json)."""
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
     batch = 768
     nbase = batch // 4
-    cfg, model, x, uv, key = _flagship_setup(batch, nbase, remat=True)
+    cfg, model, x, uv, key = _flagship_setup(batch, nbase, remat=remat,
+                                             compute_dtype=compute_dtype)
     state, tx = init_train_state(model, cfg, key, x, uv)
     step = make_train_step(model, tx, cfg, num_groups=nbase, donate=True)
     w = LossWeights()
@@ -163,13 +208,17 @@ def measure_ours_peak() -> dict:
             state, m = step(state, x, uv, w)
         jax.block_until_ready(m["loss"])
         best = min(best, (time.perf_counter() - t0) / (3 * NADMM))
-    return {"peak_patches_per_sec": batch / best, "peak_batch": batch,
-            "peak_uses_remat": True}
+    p = key_prefix
+    return {p + "peak_patches_per_sec": batch / best, p + "peak_batch": batch,
+            p + "peak_uses_remat": remat}
 
 
 _MEASUREMENTS = {
     "headline": lambda: measure_ours(),
+    "dtype_compare": lambda: measure_dtype_compare(),
     "peak": lambda: measure_ours_peak(),
+    "peak_bf16": lambda: measure_ours_peak("bfloat16", remat=False,
+                                           key_prefix="bf16_"),
     "eval": lambda: measure_ours_eval(),
     "lbfgs": lambda: measure_ours_lbfgs(),
 }
@@ -199,7 +248,9 @@ def _run_isolated(name: str) -> dict:
 
 def main():
     skip_lbfgs = os.environ.get("LSHM_BENCH_SKIP_LBFGS")
-    names = ["headline", "eval", "peak"] + ([] if skip_lbfgs else ["lbfgs"])
+    names = ["headline", "dtype_compare", "eval", "peak"]
+    if not skip_lbfgs:
+        names.append("lbfgs")
     ours: dict = {}
     headline_failed = False
     for name in names:
@@ -214,12 +265,20 @@ def main():
         # in-process fallback LAST: initializing the TPU in this process would lock the
         # chip away from the remaining isolated subprocesses
         ours.update(measure_ours())
+    # The headline stays f32: the drift-cancelled dtype_compare measurement puts bf16
+    # within ~+-15% of f32 at this (latency-bound) unit of work — inside backend noise
+    # — while f32 is the parity-tested default.  The bf16 path is accuracy-gated by
+    # tests/test_bf16.py (loss terms within tolerance, NMI parity with f32) and its
+    # ratio is recorded in detail each round (benchmarks/dtype_variance_study.json).
+    ours["headline_compute_dtype"] = "float32"
+    headline_pps = ours["patches_per_sec"]
+    ours["headline_patches_per_sec"] = headline_pps
     vs = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             ref = json.load(f)
         if ref.get("patches_per_sec"):
-            vs = ours["patches_per_sec"] / ref["patches_per_sec"]
+            vs = headline_pps / ref["patches_per_sec"]
     lbfgs_ref_path = BASELINE_PATH.replace(".json", "_lbfgs.json")
     if os.path.exists(lbfgs_ref_path) and ours.get("lbfgs_patches_per_sec"):
         with open(lbfgs_ref_path) as f:
@@ -230,7 +289,7 @@ def main():
             )
     print(json.dumps({
         "metric": "ae_khm_train_patches_per_sec_per_chip",
-        "value": round(ours["patches_per_sec"], 2),
+        "value": round(ours["headline_patches_per_sec"], 2),
         "unit": "patches/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "detail": ours,

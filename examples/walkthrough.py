@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--small", action="store_true", default=True,
                     help="small latent dims for a quick run")
+    ap.add_argument("--fourier", action="store_true",
+                    help="legacy notebook pipeline: second 2D AE on the FFT residual")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -46,9 +48,12 @@ def main():
     print(f"[1/5] synthetic observation: {h5}")
 
     # ---- 2. configure the full cascade + published ramp ------------------------------
-    cfg = preset("full_khm")
-    model_cfg = ModelConfig(latent_dim=32, latent_dim_1d=8, num_clusters=4) if args.small \
-        else cfg.model
+    cfg = preset("fourier_cascade" if args.fourier else "full_khm")
+    if args.small:
+        model_cfg = ModelConfig(latent_dim=32, latent_dim_1d=8, latent_dim_fourier=8,
+                                num_clusters=4, fourier_variant=args.fourier)
+    else:
+        model_cfg = cfg.model
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, data_dir=data_dir, batch_size=3),
         model=model_cfg,
@@ -88,11 +93,14 @@ def main():
           f"hard labels {sorted(set(res.labels.tolist()))}; artifacts in {args.out}/eval")
 
     # ---- 5. graph nets + RICA over the learned latents --------------------------------
-    from lshm_tpu.graph import build_line_graph_data, train_line_graph
+    from lshm_tpu.graph import build_line_graph_data, draw_graph, train_line_graph
 
     gdata = build_line_graph_data(trainer.model, trainer.params, h5, "0")
+    draw_graph(gdata, os.path.join(args.out, "line_graph.png"),
+               title="baseline line graph")
     _, _, losses = train_line_graph(gdata, hidden=4, epochs=50)
-    print(f"[5/5] line-graph GNN: loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    print(f"[5/5] line-graph GNN: loss {losses[0]:.4f} -> {losses[-1]:.4f}; "
+          f"structure PNG in {args.out}/line_graph.png")
 
     import jax
     import numpy as np

@@ -190,11 +190,22 @@ def save_recon_panels(
         )
         out = model.apply(params, jnp.asarray(patches[:1]), jnp.asarray(uv[:1]))
         x = patches[0]
+        if out.yf_in is not None:
+            # legacy Fourier pipeline panels: [x | xhat] / [y | yhat]
+            # (reference: src/EvaluateClusters.ipynb cell 18)
+            mid = [
+                channel_to_rgb(np.asarray(out.yf_in)[0][..., :4]),
+                channel_to_rgb(np.asarray(out.yf_out)[0][..., :4]),
+            ]
+        else:
+            mid = [
+                channel_to_rgb(np.asarray(out.x2)[0][..., :4]),
+                channel_to_rgb(np.asarray(out.x3)[0][..., :4]),
+            ]
         panels = [
             channel_to_rgb(x[..., :4]),
             channel_to_rgb(np.asarray(out.x1)[0][..., :4]),
-            channel_to_rgb(np.asarray(out.x2)[0][..., :4]),
-            channel_to_rgb(np.asarray(out.x3)[0][..., :4]),
+            *mid,
             channel_to_rgb(np.asarray(out.xrecon)[0][..., :4]),
             channel_to_rgb(x[..., :4] - np.asarray(out.xrecon)[0][..., :4]),
         ]

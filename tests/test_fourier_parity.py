@@ -109,6 +109,16 @@ def test_fourier_admm_full_residual_semantics():
     assert float(metrics["loss3"]) == 0.0
 
 
+def test_fourier_recon_panels(tmp_path, synth_h5):
+    """Fourier-variant eval panels render the y/yhat Fourier features
+    (reference: src/EvaluateClusters.ipynb cell 18)."""
+    from lshm_tpu.eval import save_recon_panels
+
+    model, params, _, _, _, _ = _fourier_setup(seed=9)
+    save_recon_panels(model, params, synth_h5, "0", [0], str(tmp_path / "p"))
+    assert (tmp_path / "p" / "xx_0.png").stat().st_size > 0
+
+
 def test_fourier_checkpoint_import_roundtrip(tmp_path):
     """net/fnet/khm trio (the published models.zip layout, Demo.ipynb cell 6) imports
     and runs the fourier cascade."""
