@@ -186,13 +186,14 @@ def measure_ours_eval() -> dict:
 
 
 def measure_ours_peak(compute_dtype: str = "float32", remat: bool = True,
-                      key_prefix: str = "") -> dict:
-    """Peak per-chip throughput: largest batch that fits (f32 requires remat at 768;
-    bf16 activations fit 768 un-rematerialized; 1536 exceeds HBM either way — see
-    benchmarks/scaling_report.json)."""
+                      key_prefix: str = "", batch: int = 1280) -> dict:
+    """Peak per-chip throughput.  The step time stays nearly FLAT (~115-135 us/ADMM
+    iter) from batch 768 to 1408 — still dispatch-bound — so throughput scales
+    linearly with batch until HBM runs out at 1536 (OOM, rematerialized or not).
+    1280 with remat is the shipped peak point (~10.9M patches/s measured), leaving
+    headroom under the OOM cliff; 1408 measured within 1% of it."""
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
-    batch = 768
     nbase = batch // 4
     cfg, model, x, uv, key = _flagship_setup(batch, nbase, remat=remat,
                                              compute_dtype=compute_dtype)
@@ -218,7 +219,7 @@ _MEASUREMENTS = {
     "dtype_compare": lambda: measure_dtype_compare(),
     "peak": lambda: measure_ours_peak(),
     "peak_bf16": lambda: measure_ours_peak("bfloat16", remat=False,
-                                           key_prefix="bf16_"),
+                                           key_prefix="bf16_", batch=768),
     "eval": lambda: measure_ours_eval(),
     "lbfgs": lambda: measure_ours_lbfgs(),
 }
