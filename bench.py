@@ -30,7 +30,9 @@ BATCH_PATCHES = 420
 NBASELINES = 12
 NADMM = 10                # reference inner-loop count (src/kharmonic_lofar.py:28)
 STEPS = 10                # per timing repetition
-REPS = 3                  # repetitions; report the best (dispatch-jitter robust)
+REPS = 6                  # repetitions; report the best — the backend's run-to-run
+                          # drift reaches +-50%, so a deeper min-filter is ~free
+                          # robustness (each rep is only ~12ms of device time)
 
 
 def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",

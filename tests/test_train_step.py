@@ -104,6 +104,32 @@ def test_fourier_variant_step():
     assert np.all(np.isfinite(np.asarray(metrics["loss"])))
 
 
+def test_fourier_sharded_step_matches_single_device():
+    """The legacy Fourier variant (full-residual duals sized 2*numel) under the GSPMD
+    data-parallel path must match the single-device step."""
+    from lshm_tpu.train.parallel import shard_batch, train_step_sharded
+
+    cfg = tiny_config(fourier_variant=True, latent_dim_fourier=8)
+    model = CascadedAE(cfg=cfg.model)
+    x, uv = make_batch(jax.random.PRNGKey(5))
+    state, tx = init_train_state(model, cfg, jax.random.PRNGKey(6), x, uv)
+    mesh = make_mesh((8,), ("data",))
+    raw = make_train_step(model, tx, cfg, num_groups=2, donate=False, jit=False)
+
+    single = make_train_step(model, tx, cfg, num_groups=2, donate=False)
+    s1, m1 = single(state, x, uv, LossWeights())
+
+    sharded = train_step_sharded(raw, mesh, donate=False)
+    xs, uvs = shard_batch(mesh, x, uv)
+    s2, m2 = sharded(replicate_state(mesh, state), xs, uvs,
+                     replicate_state(mesh, LossWeights()))
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=2e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_sharded_step_matches_single_device(setup):
     from lshm_tpu.train.parallel import shard_batch, train_step_sharded
 
