@@ -194,6 +194,30 @@ def cmd_graph(args):
           f"{data.edge_index.shape[1]} edges; loss {losses[0]:.5f} -> {losses[-1]:.5f}")
 
 
+def cmd_export(args):
+    """Serialize the trained forward (params baked in) to a portable StableHLO
+    artifact any JAX process can deserialize and call without model code."""
+    from lshm_tpu.eval import export_forward
+    from lshm_tpu.train.trainer import Trainer
+
+    cfg = _build_config(args)
+    t = Trainer(cfg)
+    try:
+        t.load(args.ckpt)
+    except FileNotFoundError as e:
+        sys.exit(f"error: no checkpoint found at {args.ckpt!r} ({e})")
+    blob = export_forward(
+        t.model, t.params,
+        patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
+        order=cfg.model.khm_order,
+        batch_size=args.batch if args.batch > 0 else None,
+    )
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    shape = args.batch if args.batch > 0 else "symbolic"
+    print(f"exported forward (batch={shape}) -> {args.out} ({len(blob)} bytes)")
+
+
 def cmd_bench(args):
     import bench
 
@@ -273,6 +297,15 @@ def main(argv=None):
     p.add_argument("--nfreq", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("export", help="serialize the trained forward to StableHLO")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", default="lshm_forward.jaxexp")
+    p.add_argument("--preset", default="full_khm")
+    p.add_argument("--batch", type=int, default=0,
+                   help="static batch size; 0 = symbolic (any batch)")
+    _add_set(p)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -5,6 +5,7 @@ from lshm_tpu.eval.clustering import (
     nmi,
     save_recon_panels,
 )
+from lshm_tpu.eval.export import export_forward, load_exported
 
 __all__ = [
     "EvalResult",
@@ -12,4 +13,6 @@ __all__ = [
     "evaluate_sap",
     "nmi",
     "save_recon_panels",
+    "export_forward",
+    "load_exported",
 ]
