@@ -46,9 +46,12 @@ def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",
 
     cfg = Config(
         data=DataConfig(batch_size=nbase, patch_size=128),
+        # khm_backend="xla": inside the fused ADMM program the XLA expression beats
+        # the Pallas kernel by ~7% (the custom call is a fusion barrier); the Pallas
+        # kernel's 32-37x standalone win is dispatch-bound, not in-graph — see
+        # benchmarks/khm_backend_compare.json
         model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
-                          khm_backend="auto",    # fused Pallas KHM kernel on TPU
-                          compute_dtype=compute_dtype),
+                          khm_backend="xla", compute_dtype=compute_dtype),
         optim=OptimConfig(
             optimizer=optimizer, adam_lr=1e-4,
             lbfgs=LBFGSConfig(history_size=7, max_iter=4, line_search=True,

@@ -51,8 +51,11 @@ class ModelConfig:
     khm_order: int = 4                # Khp: p in 1/||.||^p
     harmonic_scales: tuple[float, ...] = (1e-4, 1e-3, 1e-2, 1e-1)
     rica: bool = True                 # reconstruction-ICA sparse latent heads
-    # KHM loss backend: "xla" (fused jnp expression; GSPMD-safe for multi-chip),
-    # "pallas" (fused VMEM kernel; single-chip benchmark winner), "auto" (pallas on TPU)
+    # KHM loss backend: "xla" (fused jnp expression; GSPMD-safe for multi-chip, and
+    # ~7% faster than pallas INSIDE the fused train step, where XLA fuses it with
+    # neighbors while a custom call is a fusion barrier), "pallas" (fused VMEM kernel;
+    # 32-37x faster when the loss+grad runs STANDALONE, where per-op dispatch
+    # dominates — benchmarks/khm_backend_compare.json), "auto" (pallas on TPU)
     khm_backend: str = "xla"
     # compute dtype for conv/dense activations ("float32" | "bfloat16"); params stay f32.
     # bfloat16 feeds the v5e MXU natively (f32 convs lower to multi-pass bf16).
