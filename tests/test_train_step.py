@@ -154,6 +154,34 @@ def test_sharded_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_lbfgs_sharded_step_matches_single_device(setup):
+    """Distributed stochastic L-BFGS via GSPMD: the whole step — two-loop recursion,
+    on-device line searches included — partitions over the data mesh (every loss/grad
+    reduction becomes an all-reduce, so line-search decisions are bitwise-identical on
+    all shards) and must match the single-device trajectory."""
+    from lshm_tpu.train.parallel import shard_batch, train_step_sharded
+    from lshm_tpu.train.step import init_lbfgs_train_state, make_lbfgs_train_step
+
+    cfg, model, x, uv, _, _ = setup
+    state = init_lbfgs_train_state(model, cfg, jax.random.PRNGKey(7), x, uv)
+    mesh = make_mesh((8,), ("data",))
+
+    single = make_lbfgs_train_step(model, cfg, num_groups=2, donate=False)
+    s1, m1 = single(state, x, uv, LossWeights())
+
+    raw = make_lbfgs_train_step(model, cfg, num_groups=2, donate=False, jit=False)
+    sharded = train_step_sharded(raw, mesh, donate=False)
+    xs, uvs = shard_batch(mesh, x, uv)
+    s2, m2 = sharded(replicate_state(mesh, state), xs, uvs,
+                     replicate_state(mesh, LossWeights()))
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=2e-4
+    )
+    assert int(s1.opt_state.func_evals) == int(s2.opt_state.func_evals)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
 def test_ramp_schedule():
     from lshm_tpu.config import RampStage
     from lshm_tpu.train.schedule import active_group, ramp_stage_for_epoch
