@@ -191,12 +191,13 @@ def measure_ours_eval() -> dict:
 
 
 def measure_ours_peak(compute_dtype: str = "float32", remat: bool = True,
-                      key_prefix: str = "", batch: int = 1280) -> dict:
-    """Peak per-chip throughput.  The step time stays nearly FLAT (~115-135 us/ADMM
-    iter) from batch 768 to 1408 — still dispatch-bound — so throughput scales
-    linearly with batch until HBM runs out at 1536 (OOM, rematerialized or not).
-    1280 with remat is the shipped peak point (~10.9M patches/s measured), leaving
-    headroom under the OOM cliff; 1408 measured within 1% of it."""
+                      key_prefix: str = "", batch: int = 1408) -> dict:
+    """Peak per-chip throughput.  The per-iteration time is FLAT (~110-130 us/ADMM
+    iter) from batch 12 all the way to 1408 (benchmarks/scaling_report.json) — the
+    compiled step is bound by its in-program kernel sequence, not by FLOPs — so
+    throughput is linear in batch until HBM OOMs at 1536 (rematerialized or not).
+    1408 with remat is the largest batch that fits (~12M patches/s in a single-run
+    sweep)."""
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
     nbase = batch // 4
