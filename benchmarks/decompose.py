@@ -1,0 +1,131 @@
+"""Decompose the flagship ADMM step's 1.1 s/call execution time into components.
+
+Round-3 honest timing found the compiled step at ~0.04% MFU (bench.py two-point
+method).  The XLA profiler may be unavailable through the relay, so this locates the
+time sink by timing each piece of the program separately with the same
+completion-forcing two-point method: the three AE forwards, their backward passes,
+the loss heads, the optimizer update, the dual update, plus a large-matmul
+calibration of what the chip can actually sustain through this backend.
+
+Prints one JSON line per component, incrementally.
+
+Usage: python benchmarks/decompose.py [--dtype float32] [--batch 420]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (shared flagship setup + cache config)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _force(out) -> float:
+    leaf = jax.tree.leaves(out)[0]
+    return float(jax.device_get(jnp.ravel(jnp.asarray(leaf))[0]))
+
+
+def time_fn(fn, args, n1: int = 2, n2: int = 8, reps: int = 3) -> dict:
+    """Two-point honest timing of fn(*args): marginal sec/call, RTT-free."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    flops = bench._cost_flops(compiled)
+    out = compiled(*args)
+    _force(out)
+
+    def run(n):
+        o = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = compiled(*args)
+        _force(o)
+        return time.perf_counter() - t0
+
+    pairs = [(run(n1), run(n2)) for _ in range(reps)]
+    sec = min((d2 - d1) / (n2 - n1) for d1, d2 in pairs)
+    r = {"sec_per_call": sec, "flops": flops}
+    if flops:
+        r["tflops_per_sec"] = flops / sec / 1e12
+    return r
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--batch", type=int, default=420)
+    ap.add_argument("--only", default=None, help="comma list of component names")
+    args = ap.parse_args()
+
+    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
+    from lshm_tpu.train.objective import Duals, cascade_objective, dual_update
+
+    batch, nbase = args.batch, max(args.batch // 35, 1)
+    cfg, model, x, uv, key = bench._flagship_setup(batch, nbase,
+                                                   compute_dtype=args.dtype)
+    state, tx = init_train_state(model, cfg, key, x, uv)
+    params = state.params
+    w = LossWeights()
+    duals = Duals.zeros(x.size, x.dtype)
+
+    def objective(p):
+        return cascade_objective(model, p, x, uv, duals, w, nbase,
+                                 use_rica=cfg.model.rica,
+                                 khm_order=cfg.model.khm_order)[0]
+
+    n = 4096
+    a = jax.random.normal(key, (n, n), jnp.float32)
+
+    def forward(p):
+        return model.apply(p, x, uv).xrecon
+
+    def fwd_2d(p):
+        # encoder+decoder of the 2D AE alone
+        return model.apply(p, x, uv, method=lambda m, x, uv: m.ae2d(x, uv))[0]
+
+    def value_grad(p):
+        return jax.grad(objective)(p)
+
+    def adam_update(p):
+        g = jax.tree.map(jnp.ones_like, p)
+        upd, _ = tx.update(g, state.opt_state, p)
+        return upd
+
+    def dual_fwd(p):
+        return dual_update(model, p, x, uv, duals, w.rho).y1
+
+    def fwd_1d(p):
+        # one 1D AE alone on the time-major vectorized residual shape
+        iy = x.reshape(x.shape[0], -1, x.shape[-1])
+        return model.apply(p, iy, uv, method=lambda m, s, uv: m.aeT(s, uv))[0]
+
+    components = {
+        "matmul_4096_f32": (lambda A: A @ A, (a,)),
+        "forward_1d_only": (fwd_1d, (params,)),
+        "matmul_4096_bf16": (
+            lambda A: (A.astype(jnp.bfloat16) @ A.astype(jnp.bfloat16)), (a,)),
+        "forward_cascade": (forward, (params,)),
+        "forward_2d_only": (fwd_2d, (params,)),
+        "objective_value": (objective, (params,)),
+        "objective_grad": (value_grad, (params,)),
+        "adam_update": (adam_update, (params,)),
+        "dual_update_fwd": (dual_fwd, (params,)),
+    }
+    sel = args.only.split(",") if args.only else list(components)
+    for name in sel:
+        fn, fargs = components[name]
+        try:
+            r = time_fn(fn, fargs)
+        except Exception as e:
+            r = {"error": repr(e)[:300]}
+        print(json.dumps({"component": name, "batch": batch,
+                          "dtype": args.dtype, **r}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,7 +147,11 @@ def measure(batch_patches: int = 48, iters: int = 3, nbaselines: int = 12,
         "batch_patches": batch_patches,
         "optimizer": optimizer,
         "hardware": "cpu" + (f"-{os.cpu_count()}core" if os.cpu_count() else ""),
-        "torch_version": __import__("torch").__version__,
+        # honest-denominator bookkeeping (VERDICT round 2 item 3): record the actual
+        # torch threading so per-chip ratios aren't silently per-core ratios
+        "torch_threads": torch.get_num_threads(),
+        "cpu_count": os.cpu_count(),
+        "torch_version": torch.__version__,
         "framework": "pytorch-reference",
     }
 
@@ -158,11 +162,15 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--optimizer", default="adam", choices=["adam", "lbfgs"])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--default-threads", action="store_true",
+                    help="write reference_baseline_default_threads.json (torch's "
+                         "default threading, unpinned)")
     args = ap.parse_args()
     out = args.out or os.path.join(
         os.path.dirname(__file__),
-        "reference_baseline.json" if args.optimizer == "adam"
-        else "reference_baseline_lbfgs.json",
+        "reference_baseline_default_threads.json" if args.default_threads
+        else ("reference_baseline.json" if args.optimizer == "adam"
+              else "reference_baseline_lbfgs.json"),
     )
     result = measure(args.batch, args.iters, optimizer=args.optimizer)
     with open(out, "w") as f:

@@ -62,6 +62,8 @@ def cmd_train(args):
     cfg = _build_config(args)
     logger = MetricLogger(jsonl_path=args.log_jsonl, echo=not args.quiet)
     t = Trainer(cfg, logger, profile_dir=args.profile_dir)
+    if not args.quiet and t.mesh is not None:
+        print(f"mesh: {dict(t.mesh.shape)} over {len(t.mesh.devices.flat)} device(s)")
     if args.resume:
         t.load(cfg.train.checkpoint_dir)
     summary = t.run()
@@ -175,23 +177,35 @@ def cmd_graph(args):
 
             print(f"wrote {draw_graph(data, args.plot, title='baseline line graph')}")
         _, _, losses = train_line_graph(data, hidden=args.hidden, epochs=args.epochs)
+        print(f"line graph: {data.x.shape[0]} nodes, "
+              f"{data.edge_index.shape[1]} edges; loss {losses[0]:.5f} -> {losses[-1]:.5f}")
     else:
+        from lshm_tpu.graph import train_station_graph_epochs
+
         baselines_per_sap = [
             read_metadata(f, s, give_baselines=True)[0] for f, s in zip(files, saps)
         ]
         stations, bmap = station_graph_maps(baselines_per_sap)
-        data = build_station_graph_data(
-            t.model, t.params, files[idx], saps[idx], stations, bmap,
-            patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
-            order=cfg.model.khm_order,
-        )
         if args.plot:
             from lshm_tpu.graph import draw_graph
 
+            data = build_station_graph_data(
+                t.model, t.params, files[idx], saps[idx], stations, bmap,
+                patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
+                order=cfg.model.khm_order,
+            )
             print(f"wrote {draw_graph(data, args.plot, title='station graph', directed=True)}")
-        _, _, losses = train_station_graph(data, epochs=args.epochs)
-    print(f"{args.kind} graph: {data.x.shape[0]} nodes, "
-          f"{data.edge_index.shape[1]} edges; loss {losses[0]:.5f} -> {losses[-1]:.5f}")
+        # per-epoch stochastic rebuild: each epoch draws a random SAP and a fresh
+        # random patch per baseline (reference: src/train_graph_stat.py:161-268)
+        _, _, losses = train_station_graph_epochs(
+            t.model, t.params, files, saps, stations, bmap,
+            epochs=args.epochs, steps_per_graph=args.steps_per_graph,
+            patch_size=cfg.data.patch_size, num_channels=cfg.data.num_channels,
+            order=cfg.model.khm_order,
+        )
+        print(f"station graph: {len(stations)} stations, {args.epochs} rebuilt "
+              f"graphs x {args.steps_per_graph} steps; "
+              f"loss {losses[0]:.5f} -> {losses[-1]:.5f}")
 
 
 def cmd_export(args):
@@ -225,6 +239,25 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    # Hermetic-run overrides (useful where shell env loses to a sitecustomize that
+    # already imported jax): LSHM_PLATFORM pins the backend via jax.config (works any
+    # time before first backend use), LSHM_HOST_DEVICE_COUNT fakes N CPU devices for
+    # mesh runs without hardware.
+    import os
+
+    ndev = os.environ.get("LSHM_HOST_DEVICE_COUNT")
+    if ndev:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={ndev}"
+            ).strip()
+    plat = os.environ.get("LSHM_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     ap = argparse.ArgumentParser(prog="lshm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -283,7 +316,11 @@ def main(argv=None):
     p.add_argument("--ckpt", required=True)
     p.add_argument("--preset", default="full_khm")
     p.add_argument("--sap-index", type=int, default=0)
-    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=200,
+                   help="line: Adam epochs on the one graph; station: number of "
+                        "randomly rebuilt graphs (reference train_graph_stat.py)")
+    p.add_argument("--steps-per-graph", type=int, default=20,
+                   help="station: Adam steps per rebuilt graph")
     p.add_argument("--hidden", type=int, default=4)
     p.add_argument("--plot", default=None, metavar="PNG",
                    help="render the graph structure before training "

@@ -156,10 +156,16 @@ class TrainConfig:
     admm_iters: int = 10              # Nadmm
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
-    save_every: int = 0               # 0 = only at end
+    save_every: int = 0               # epochs between checkpoints; 0 = only at end
+    save_every_iters: int = 0         # mid-epoch checkpoint cadence (iters); 0 = off.
+                                      # Resume is exact either way: the sampler stream
+                                      # is repositioned to (epoch, iter) via skip()
     log_every: int = 1
     ramp: tuple[RampStage, ...] = ()  # optional published recipe; overrides LossConfig weights
-    # parallelism
+    # parallelism: (1,) = single-device jit; any product > 1 (or -1 = all devices)
+    # builds a GSPMD data-parallel mesh and Trainer runs every step through
+    # train_step_sharded (state replicated, patch batch sharded over mesh_axes[0]).
+    # Multi-process runs always span all global devices.  CLI: --set train.mesh_shape=8
     mesh_shape: tuple[int, ...] = (1,)
     mesh_axes: tuple[str, ...] = ("data",)
     precision: str = "float32"        # compute dtype for conv/matmul inputs

@@ -86,6 +86,28 @@ def read_metadata(filename: str, sap: str, give_baselines: bool = False):
         return shape
 
 
+def _compute_uv_open(f: "h5py.File", sap: str, baseline_ids: Sequence[int]) -> np.ndarray:
+    """``compute_uv`` on an already-open file handle (no extra opens)."""
+    hms = f["measurement"]["info"]["start_time"][0].decode("ascii").split()[1].split(":")
+    start_hours = float(hms[0]) + float(hms[1]) / 60.0 + float(hms[2]) / 3600.0
+    theta = start_hours / 24.0 * (2.0 * math.pi)
+    frq = f["measurement"]["saps"][sap]["central_frequencies"]
+    freq0 = frq[frq.shape[0] // 2]
+    inv_lambda = freq0 / SPEED_OF_LIGHT
+    rot00 = math.cos(theta) * inv_lambda
+    rot01 = math.sin(theta) * inv_lambda
+    baselines = f["measurement"]["saps"][sap]["baselines"][...]
+    xyz = f["measurement"]["saps"][sap]["antenna_locations"]["XYZ"][...]
+    out = np.zeros((len(baseline_ids), 2), dtype=np.float32)
+    for i, b in enumerate(baseline_ids):
+        s1, s2 = int(baselines[b][0]), int(baselines[b][1])
+        dx = xyz[s1][0] - xyz[s2][0]
+        dy = xyz[s1][1] - xyz[s2][1]
+        out[i, 0] = dx * rot00 + dy * rot01
+        out[i, 1] = -dx * rot01 + dy * rot00
+    return out
+
+
 def compute_uv(filename: str, sap: str, baseline_ids: Sequence[int]) -> np.ndarray:
     """Per-baseline (u, v) in wavelengths at observation start + central frequency.
 
@@ -94,24 +116,7 @@ def compute_uv(filename: str, sap: str, baseline_ids: Sequence[int]) -> np.ndarr
     Returns float32 [len(baseline_ids), 2].
     """
     with h5py.File(filename, "r") as f:
-        hms = f["measurement"]["info"]["start_time"][0].decode("ascii").split()[1].split(":")
-        start_hours = float(hms[0]) + float(hms[1]) / 60.0 + float(hms[2]) / 3600.0
-        theta = start_hours / 24.0 * (2.0 * math.pi)
-        frq = f["measurement"]["saps"][sap]["central_frequencies"]
-        freq0 = frq[frq.shape[0] // 2]
-        inv_lambda = freq0 / SPEED_OF_LIGHT
-        rot00 = math.cos(theta) * inv_lambda
-        rot01 = math.sin(theta) * inv_lambda
-        baselines = f["measurement"]["saps"][sap]["baselines"][...]
-        xyz = f["measurement"]["saps"][sap]["antenna_locations"]["XYZ"][...]
-        out = np.zeros((len(baseline_ids), 2), dtype=np.float32)
-        for i, b in enumerate(baseline_ids):
-            s1, s2 = int(baselines[b][0]), int(baselines[b][1])
-            dx = xyz[s1][0] - xyz[s2][0]
-            dy = xyz[s1][1] - xyz[s2][1]
-            out[i, 0] = dx * rot00 + dy * rot01
-            out[i, 1] = -dx * rot01 + dy * rot00
-        return out
+        return _compute_uv_open(f, sap, baseline_ids)
 
 
 def _decode_channels(g, h, baseline_ids: Sequence[int], num_channels: int) -> np.ndarray:
@@ -180,6 +185,61 @@ def read_baseline_flat(
     (reference: src/lofar_tools.py:352-406).  Returns float32 [ntime, nfreq, C]."""
     x = read_baseline_channels(filename, sap, [baseline_id], num_channels)[0]
     return np.clip(x, -1e6, 1e6)
+
+
+def read_baselines_patches_batch(
+    filename: str,
+    sap: str,
+    baseline_ids: Sequence[int],
+    patch_size: int = 128,
+    num_channels: int = 4,
+    uvdist: bool = False,
+    give_baselines: bool = False,
+):
+    """Evaluation-path reader for MANY baselines in ONE file open.
+
+    Semantically identical to calling ``read_baseline_patches`` per id (patch, clamp
+    +-1e6, z-normalize each baseline over its own patches; reference:
+    src/lofar_tools.py:214-349) but the handle is opened once per chunk instead of
+    twice per baseline — the reference eval loop costs ~2 opens x 3000 baselines per
+    SAP; this costs 1 (VERDICT round 2 item 7).
+
+    Returns (patchx, patchy, patches [B*ppb, ps, ps, C], [uv [B*ppb, 2]],
+    [station_pairs [B, 2]]).
+    """
+    with h5py.File(filename, "r") as f:
+        g = f["measurement"]["saps"][sap]["visibilities"]
+        h = f["measurement"]["saps"][sap]["visibility_scale_factors"]
+        x = _decode_channels(g, h, baseline_ids, num_channels)
+        uv = _compute_uv_open(f, sap, baseline_ids) if uvdist else None
+        pairs = (
+            np.asarray(f["measurement"]["saps"][sap]["baselines"][...])[
+                np.asarray(baseline_ids)
+            ]
+            if give_baselines
+            else None
+        )
+    _, ntime, nfreq, _ = x.shape
+    pt, pf = max(ntime, patch_size), max(nfreq, patch_size)
+    if (pt, pf) != (ntime, nfreq):
+        pad = np.zeros((x.shape[0], pt, pf, x.shape[-1]), dtype=np.float32)
+        pad[:, :ntime, :nfreq] = x
+        x = pad
+    patches, (px, py) = patchify(x, patch_size)
+    patches = np.clip(patches, -1e6, 1e6)
+    # per-baseline z-norm over that baseline's own patch group (baseline-major rows)
+    ppb = px * py
+    grouped = patches.reshape(len(baseline_ids), ppb, *patches.shape[1:])
+    mean = grouped.mean(axis=(1, 2, 3, 4), keepdims=True)
+    std = grouped.std(axis=(1, 2, 3, 4), keepdims=True)
+    grouped = (grouped - mean) / np.where(std > 0, std, 1.0)
+    patches = grouped.reshape(patches.shape)
+    result: list = [px, py, patches]
+    if uvdist:
+        result.append(np.repeat(uv, ppb, axis=0))
+    if give_baselines:
+        result.append(pairs)
+    return tuple(result)
 
 
 def read_baseline_patches(

@@ -107,6 +107,24 @@ class MinibatchSampler:
         exact minibatch sequence of an uninterrupted run."""
         self.rng = np.random.default_rng([self._seed, self._process_index, epoch])
 
+    def skip(self, n: int) -> None:
+        """Advance the stream past ``n`` minibatches WITHOUT any H5 I/O, by replaying
+        exactly the rng draws ``sample()`` would make.  ``reseed(epoch); skip(k)``
+        positions the stream at iteration ``k`` of that epoch — the mid-epoch exact
+        resume path (the reference has no resume at all; its optimizer state isn't even
+        saved, src/kharmonic_lofar.py:210-222)."""
+        dummy = np.zeros((1, 1, 1, 1), dtype=np.float32)
+        for _ in range(n):
+            idx = int(self.rng.integers(0, len(self.file_list)))
+            nbase = self._meta[idx][0]
+            self.rng.integers(0, nbase, self.cfg.batch_size)
+            if self.cfg.augment:
+                # augment_fn draws from rng per baseline group; replay on a dummy
+                # patch group (valid for any fn whose rng use is data-independent,
+                # like the default flip augmentation)
+                for _ in range(self.cfg.batch_size):
+                    self.augment_fn(self.rng, dummy)
+
     def sample(self) -> Minibatch:
         cfg = self.cfg
         idx = int(self.rng.integers(0, len(self.file_list)))

@@ -55,7 +55,7 @@ def baseline_distance_matrix(
     baseline_ids: list[int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (X [K, nbase] raw distance matrix, mean_latents [nbase, D])."""
-    from lshm_tpu.data.h5io import read_baseline_patches, read_metadata
+    from lshm_tpu.data.h5io import read_baselines_patches_batch, read_metadata
 
     nbase = read_metadata(filename, sap)[0]
     ids = list(baseline_ids) if baseline_ids is not None else list(range(nbase))
@@ -65,22 +65,17 @@ def baseline_distance_matrix(
 
     for start in range(0, len(ids), baselines_per_batch):
         chunk = ids[start : start + baselines_per_batch]
-        xs, uvs = [], []
-        for b in chunk:
-            _, _, patches, uv = read_baseline_patches(
-                filename, sap, b, patch_size, num_channels, uvdist=True
-            )
-            xs.append(patches)
-            uvs.append(uv)
         # pad the tail chunk to a full batch: a partial final chunk would otherwise
         # re-trace _batched_features (a second multi-minute TPU compile per SAP);
-        # the [: len(chunk)] slices below discard the padded rows
-        for _ in range(baselines_per_batch - len(chunk)):
-            xs.append(xs[-1])
-            uvs.append(uvs[-1])
-        ppb = xs[0].shape[0]
-        x = jnp.asarray(np.concatenate(xs))
-        uv = jnp.asarray(np.concatenate(uvs))
+        # the [: len(chunk)] slices below discard the padded rows.  ONE h5 open per
+        # chunk serves patches + uv for every baseline in it (VERDICT round 2 item 7).
+        padded = chunk + [chunk[-1]] * (baselines_per_batch - len(chunk))
+        _, _, patches, uv_full = read_baselines_patches_batch(
+            filename, sap, padded, patch_size, num_channels, uvdist=True
+        )
+        ppb = patches.shape[0] // len(padded)
+        x = jnp.asarray(patches)
+        uv = jnp.asarray(uv_full)
         dists, mls = _batched_features(model, params, x, uv, ppb, order)
         dists, mls = np.asarray(dists), np.asarray(mls)
         if latents is None:

@@ -10,6 +10,7 @@ from lshm_tpu.graph.train import (
     build_station_graph_data,
     train_line_graph,
     train_station_graph,
+    train_station_graph_epochs,
 )
 from lshm_tpu.graph.viz import draw_graph
 
@@ -26,5 +27,6 @@ __all__ = [
     "build_station_graph_data",
     "train_line_graph",
     "train_station_graph",
+    "train_station_graph_epochs",
     "draw_graph",
 ]

@@ -80,13 +80,12 @@ def build_station_graph_data(
     """Station graph from one SAP: node features/labels from autocorrelations, edge
     features from cross-correlations in both directions (reverse = conjugate; reference:
     src/train_graph_stat.py:161-258).  One random patch per baseline, as the reference."""
-    from lshm_tpu.data.h5io import read_baseline_patches, read_metadata
+    from lshm_tpu.data.h5io import read_baselines_patches_batch, read_metadata
 
     rng = rng or np.random.default_rng(0)
     baselines, _ = read_metadata(filename, sap, give_baselines=True)
     n_stat = len(stations)
     n_edges = len(baseline_map)
-    D = None
     M = np.asarray(params["params"]["khm"]["M"])
     Kc = M.shape[0]
 
@@ -97,42 +96,54 @@ def build_station_graph_data(
     edge_used = np.zeros(n_edges, bool)
     edge_index = np.zeros((2, n_edges), np.int64)
 
-    def latent_of(patches, uv):
+    def latents_of(patches, uv):
         out = model.apply(params, jnp.asarray(patches), jnp.asarray(uv))
         return np.asarray(out.Mu)
 
-    for nb in range(len(baselines)):
-        _, _, patches, uv, bl = read_baseline_patches(
-            filename, sap, nb, patch_size, num_channels, give_baseline=True, uvdist=True
+    # chunked read (one h5 open per chunk) + one batched forward per chunk covering
+    # both the selected patches and their conjugates (VERDICT round 2 item 7)
+    chunk_size = 16
+    nbase = len(baselines)
+    for start in range(0, nbase, chunk_size):
+        ids = list(range(start, min(start + chunk_size, nbase)))
+        _, _, patches, uv, pairs = read_baselines_patches_batch(
+            filename, sap, ids, patch_size, num_channels, uvdist=True,
+            give_baselines=True,
         )
-        s1 = bl[0].item() if hasattr(bl[0], "item") else bl[0]
-        s2 = bl[1].item() if hasattr(bl[1], "item") else bl[1]
-        nsel = int(rng.integers(0, patches.shape[0]))
-        xsel, uvsel = patches[nsel : nsel + 1], uv[nsel : nsel + 1]
-        Mu = latent_of(xsel, uvsel)[0]
-        if D is None:
-            D = Mu.shape[-1]
+        ppb = patches.shape[0] // len(ids)
+        sel = np.array([int(rng.integers(0, ppb)) for _ in ids])
+        rows = np.arange(len(ids)) * ppb + sel
+        xsel, uvsel = patches[rows], uv[rows]
+        Mu_all = latents_of(np.concatenate([xsel, conjugate_channels(xsel)]),
+                            np.concatenate([uvsel, uvsel]))
+        Mu_sel, Mu_conj = Mu_all[: len(ids)], Mu_all[len(ids):]
+        if node_attr is None:
+            D = Mu_sel.shape[-1]
             node_attr = np.zeros((n_stat, D), np.float32)
             node_labels = np.zeros((n_stat, Kc), np.float32)
             edge_attr = np.zeros((n_edges, D), np.float32)
-        dist = np.array([np.linalg.norm(Mu - M[k]) ** order for k in range(Kc)])
-        soft = _softmax(-dist / dist.mean())
-        if s1 == s2:
-            sid = stations[s1]
-            node_mask[sid] = True
-            node_attr[sid] = Mu
-            node_labels[sid] = soft
-        else:
-            eid = baseline_map[(s1, s2)]
-            edge_index[:, eid] = (stations[s1], stations[s2])
-            edge_attr[eid] = Mu
-            edge_used[eid] = True
-            # reverse direction: conjugated input
-            Mu_c = latent_of(conjugate_channels(xsel), uvsel)[0]
-            eid2 = baseline_map[(s2, s1)]
-            edge_index[:, eid2] = (stations[s2], stations[s1])
-            edge_attr[eid2] = Mu_c
-            edge_used[eid2] = True
+
+        for i, nb in enumerate(ids):
+            s1 = int(pairs[i][0])
+            s2 = int(pairs[i][1])
+            Mu = Mu_sel[i]
+            dist = np.array([np.linalg.norm(Mu - M[k]) ** order for k in range(Kc)])
+            soft = _softmax(-dist / dist.mean())
+            if s1 == s2:
+                sid = stations[s1]
+                node_mask[sid] = True
+                node_attr[sid] = Mu
+                node_labels[sid] = soft
+            else:
+                eid = baseline_map[(s1, s2)]
+                edge_index[:, eid] = (stations[s1], stations[s2])
+                edge_attr[eid] = Mu
+                edge_used[eid] = True
+                # reverse direction: conjugated input
+                eid2 = baseline_map[(s2, s1)]
+                edge_index[:, eid2] = (stations[s2], stations[s1])
+                edge_attr[eid2] = Mu_conj[i]
+                edge_used[eid2] = True
 
     # keep only populated edges (static shapes for jit)
     keep = np.nonzero(edge_used)[0]
@@ -173,6 +184,66 @@ def train_station_graph(
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     return model, params, losses
+
+
+def _make_station_step(model, tx):
+    """Jitted (params, opt_state, graph arrays) -> (params, opt_state, loss) update;
+    graph shapes may change across rebuilds (jit retraces per shape signature)."""
+
+    @jax.jit
+    def step(params, opt_state, x, ei, ea, y, mask):
+        def loss_fn(p):
+            pred = model.apply(p, x, ei, ea)
+            return jnp.sum(mask * (pred - y) ** 2) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def train_station_graph_epochs(
+    model, params, files, saps, stations: dict, baseline_map: dict,
+    epochs: int = 5, steps_per_graph: int = 20, lr: float = 0.01, seed: int = 0,
+    patch_size: int = 128, num_channels: int = 4, order: int = 4,
+    edge_mlp_hidden=(256, 128),
+):
+    """Per-epoch stochastic graph-rebuild training (reference:
+    src/train_graph_stat.py:161-268): every epoch draws a random SAP, rebuilds the
+    station graph from ONE random patch per baseline, and keeps training the SAME
+    GraphNet with the SAME Adam state across rebuilds.
+
+    Returns (graph_model, graph_params, losses) with one loss entry per
+    (epoch, inner step)."""
+    rng = np.random.default_rng(seed)
+    tx = optax.adam(lr)
+    gmodel = None
+    gparams = None
+    opt_state = None
+    step = None
+    losses: list[float] = []
+    for _ in range(epochs):
+        si = int(rng.integers(0, len(files)))
+        data = build_station_graph_data(
+            model, params, files[si], saps[si], stations, baseline_map,
+            patch_size, num_channels, order, rng=rng,
+        )
+        x = jnp.asarray(data.x)
+        ei = jnp.asarray(data.edge_index)
+        ea = jnp.asarray(data.edge_attr)
+        y = jnp.asarray(data.y)
+        mask = jnp.asarray(data.node_mask.astype(np.float32))[:, None]
+        if gmodel is None:
+            gmodel = StationGraphNet(out_features=y.shape[1],
+                                     edge_mlp_hidden=edge_mlp_hidden)
+            gparams = gmodel.init(jax.random.PRNGKey(seed), x, ei, ea)
+            opt_state = tx.init(gparams)
+            step = _make_station_step(gmodel, tx)
+        for _ in range(steps_per_graph):
+            gparams, opt_state, loss = step(gparams, opt_state, x, ei, ea, y, mask)
+            losses.append(float(loss))
+    return gmodel, gparams, losses
 
 
 def _softmax(v):

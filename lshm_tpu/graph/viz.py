@@ -12,12 +12,14 @@ import numpy as np
 
 
 def draw_graph(data, out_path: str, title: str = "", seed: int = 0,
-               directed: bool = False) -> str:
+               directed: bool = False, labels_are_distances: bool | None = None) -> str:
     """Render a GraphData object (lshm_tpu.graph.train.GraphData) to a PNG.
 
-    Node colors: for line graphs ``y`` holds per-cluster mean distances -> argmin;
-    for station graphs ``y`` holds soft labels -> argmax.  Masked-out station nodes
-    (no autocorrelation) are drawn grey.
+    Node colors: when ``y`` holds per-cluster mean distances (line graphs) the
+    dominant cluster is the argmin; when it holds soft labels (station graphs) it is
+    the argmax.  ``labels_are_distances`` selects explicitly; when None it defaults
+    from ``directed`` (station graphs are the directed ones here).  Masked-out
+    station nodes (no autocorrelation) are drawn grey.
     """
     import matplotlib
 
@@ -33,10 +35,12 @@ def draw_graph(data, out_path: str, title: str = "", seed: int = 0,
             G.add_edge(int(u), int(v))
 
     y = np.asarray(data.y)
+    if labels_are_distances is None:
+        labels_are_distances = not directed
     if y.ndim == 2 and y.shape[1] > 1:
-        # line graph: distances (lower = closer); station graph: soft labels (higher)
-        colors = (np.argmax(y, axis=1) if data.node_mask is not None
-                  else np.argmin(y, axis=1)).astype(float)
+        # distances: lower = closer (argmin); soft labels: higher = dominant (argmax)
+        colors = (np.argmin(y, axis=1) if labels_are_distances
+                  else np.argmax(y, axis=1)).astype(float)
     else:
         colors = np.zeros(n)
     if data.node_mask is not None:

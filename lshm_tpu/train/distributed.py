@@ -37,8 +37,17 @@ def init_distributed(
         pid = os.environ.get("JAX_PROCESS_ID")
         process_id = int(pid) if pid is not None else None
 
-    if not coordinator or num_processes <= 1:
+    if not coordinator and num_processes <= 1:
         return 1
+    if not coordinator or num_processes <= 1:
+        # exactly one of (coordinator, num_processes>1) was provided: almost certainly
+        # a misconfigured multi-host launch — proceeding single-process would train
+        # silently divergent replicas, so fail loudly instead
+        raise ValueError(
+            "incomplete multi-host configuration: need BOTH a coordinator address and "
+            f"num_processes > 1 (got coordinator={coordinator!r}, "
+            f"num_processes={num_processes})"
+        )
 
     jax.distributed.initialize(
         coordinator_address=coordinator,

@@ -46,7 +46,16 @@ def shard_batch(mesh: Mesh, x, uv, axis: str = "data"):
 
 
 def replicate_state(mesh: Mesh, state: Any) -> Any:
-    return jax.device_put(state, replicated(mesh))
+    sh = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(state, sh)
+
+    # multi-process: assemble global replicated arrays from the (identical) host copies
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_process_local_data(sh, a, a.shape)
+
+    return jax.tree.map(put, state)
 
 
 def make_train_step_shard_map(

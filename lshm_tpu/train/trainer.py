@@ -44,6 +44,62 @@ class Trainer:
         self._params = None          # canonical params pytree
         self._opt_kind = None        # ("adam"|"lbfgs", group)
         self._state = None
+        self._mesh = "unresolved"    # lazy: resolved from cfg.train.mesh_shape on use
+
+    # ------------------------------------------------------------------- device mesh
+    @property
+    def mesh(self):
+        """Device mesh from ``cfg.train.mesh_shape`` (None = plain single-device jit).
+
+        ``(1,)``/``()`` = unsharded; ``-1`` absorbs all devices; any product > 1
+        builds the GSPMD data-parallel mesh and every train step runs through
+        ``train_step_sharded`` (state replicated, patch batch sharded).  Multi-process
+        runs ALWAYS get a mesh spanning every global device: collective-free per-host
+        replicas silently diverge, so single-device stepping is not allowed there."""
+        if self._mesh == "unresolved":
+            import math
+
+            from lshm_tpu.train.parallel import make_mesh
+
+            shape = tuple(self.cfg.train.mesh_shape) or (1,)
+            nproc = jax.process_count()
+            if nproc > 1:
+                total = len(jax.devices())
+                if -1 not in shape and math.prod(shape) != total:
+                    if math.prod(shape) == 1:
+                        shape = (-1,)      # default config: auto-span all devices
+                    else:
+                        raise ValueError(
+                            f"train.mesh_shape={shape} does not cover the "
+                            f"{total} global devices of this {nproc}-process run"
+                        )
+                self._mesh = make_mesh(shape, self.cfg.train.mesh_axes)
+            elif -1 in shape or math.prod(shape) > 1:
+                self._mesh = make_mesh(shape, self.cfg.train.mesh_axes)
+            else:
+                self._mesh = None
+        return self._mesh
+
+    def _placer(self):
+        """How host minibatch arrays reach the devices: plain asarray when unsharded;
+        batch-dim sharded device_put on a mesh; global-array assembly from per-host
+        shards in multi-process runs (each host's sampler contributes its rows)."""
+        if self.mesh is None:
+            return jnp.asarray
+        from lshm_tpu.train.parallel import batch_sharding
+
+        sh = batch_sharding(self.mesh, self.cfg.train.mesh_axes[0])
+        nproc = jax.process_count()
+        if nproc == 1:
+            return lambda a: jax.device_put(a, sh)
+
+        def place(a):
+            a = np.asarray(a)
+            return jax.make_array_from_process_local_data(
+                sh, a, (a.shape[0] * nproc, *a.shape[1:])
+            )
+
+        return place
 
     # ---------------------------------------------------------------- state management
     def _ensure_state(self, kind: str, group: str, x, uv):
@@ -61,6 +117,11 @@ class Trainer:
                 )
                 self._params = self._state.params
             self._opt_kind = (kind, group)
+            if self.mesh is not None:
+                from lshm_tpu.train.parallel import replicate_state
+
+                self._state = replicate_state(self.mesh, self._state)
+                self._params = self._state.params
             return
 
         if (kind, group) != self._opt_kind:
@@ -84,19 +145,34 @@ class Trainer:
                     opt_state=lbfgs_init(self._params, self.cfg.optim.lbfgs),
                     step=step_count,
                 )
+            if self.mesh is not None:
+                from lshm_tpu.train.parallel import replicate_state
+
+                self._state = replicate_state(self.mesh, self._state)
+                self._params = self._state.params
             self._opt_kind = (kind, group)
 
     def _get_step(self, kind: str, group: str, num_groups: int) -> Callable:
         key = (kind, group, num_groups)
         if key not in self._step_cache:
+            sharded = self.mesh is not None
             if kind == "adam":
-                self._step_cache[key] = make_train_step(
-                    self.model, self._tx, self.cfg, num_groups, donate=False
+                step = make_train_step(
+                    self.model, self._tx, self.cfg, num_groups, donate=False,
+                    jit=not sharded,
                 )
             else:
-                self._step_cache[key] = make_lbfgs_train_step(
+                step = make_lbfgs_train_step(
                     self.model, self.cfg, num_groups, group=group, donate=False,
+                    jit=not sharded,
                 )
+            if sharded:
+                from lshm_tpu.train.parallel import train_step_sharded
+
+                step = train_step_sharded(
+                    step, self.mesh, self.cfg.train.mesh_axes[0], donate=False
+                )
+            self._step_cache[key] = step
         return self._step_cache[key]
 
     def _sync_params(self):
@@ -121,7 +197,10 @@ class Trainer:
                 raise FileNotFoundError(f"no valid H5 data under {cfg.data.data_dir!r}")
             sampler = MinibatchSampler(files, saps, cfg.data, seed=cfg.train.seed)
 
+        placer = self._placer()
+        nproc = jax.process_count()
         start_epoch = getattr(self, "_resume_epoch", 0)
+        start_iter = getattr(self, "_resume_iter", 0)
         for epoch in range(start_epoch, cfg.train.num_epochs):
             if hasattr(sampler, "reseed"):
                 sampler.reseed(epoch)   # per-epoch stream: resume == uninterrupted run
@@ -143,11 +222,14 @@ class Trainer:
             profiling = self.profile_dir is not None and epoch == start_epoch
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)
+            first_iter = start_iter if epoch == start_epoch else 0
+            if first_iter and hasattr(sampler, "skip"):
+                sampler.skip(first_iter)   # replay rng draws, no I/O: mid-epoch resume
             # background host->device prefetch so the step never waits on h5py
             if cfg.data.prefetch > 0:
                 from lshm_tpu.data.sampler import PrefetchIterator
 
-                source = PrefetchIterator(sampler, cfg.data.prefetch)
+                source = PrefetchIterator(sampler, cfg.data.prefetch, device_put=placer)
             else:
                 source = None
             pending = None   # (state_before, metrics, it) awaiting the finite check
@@ -166,13 +248,20 @@ class Trainer:
                     self.logger.log_step(epoch, pit, metrics,
                                          patches=self._last_batch_shape[0])
 
-            for it in range(cfg.train.iters_per_epoch):
+            for it in range(first_iter, cfg.train.iters_per_epoch):
                 mb = next(source) if source is not None else sampler.sample()
-                x = jnp.asarray(mb.x)
-                uv = jnp.asarray(mb.uv)
+                if source is not None:     # prefetcher already placed the arrays
+                    x, uv = mb.x, mb.uv
+                else:
+                    x, uv = placer(mb.x), placer(mb.uv)
                 self._last_batch_shape = tuple(x.shape)
-                self._ensure_state(kind, group, x, uv)
-                step = self._get_step(kind, group, mb.num_baselines)
+                # init from a host-side shape template: flax init depends only on
+                # shapes + rng, so params are identical on every process
+                self._ensure_state(
+                    kind, group,
+                    jnp.zeros((1, *x.shape[1:]), x.dtype), jnp.zeros((1, 2), x.dtype),
+                )
+                step = self._get_step(kind, group, mb.num_baselines * nproc)
                 if pending is not None and cfg.train.skip_nonfinite:
                     _settle(pending)
                 prev_state = self._state if cfg.train.skip_nonfinite else None
@@ -182,6 +271,15 @@ class Trainer:
                     pending = (prev_state, metrics, it)
                 elif (it % max(cfg.train.log_every, 1)) == 0:
                     self.logger.log_step(epoch, it, metrics, patches=x.shape[0])
+                if (cfg.train.save_every_iters and cfg.train.checkpoint_dir
+                        and (it + 1) % cfg.train.save_every_iters == 0
+                        and (it + 1) < cfg.train.iters_per_epoch):
+                    if pending is not None and cfg.train.skip_nonfinite:
+                        _settle(pending)   # never checkpoint an unvalidated step
+                        pending = None
+                    self.save(cfg.train.checkpoint_dir,
+                              step=epoch * cfg.train.iters_per_epoch + it + 1,
+                              epoch=epoch, iter_in_epoch=it + 1)
             if pending is not None and cfg.train.skip_nonfinite:
                 _settle(pending)
             if source is not None:
@@ -191,34 +289,49 @@ class Trainer:
                 jax.profiler.stop_trace()
 
             if cfg.train.save_every and (epoch + 1) % cfg.train.save_every == 0:
-                self.save(cfg.train.checkpoint_dir, step=epoch + 1, epoch=epoch + 1)
+                self.save(cfg.train.checkpoint_dir,
+                          step=(epoch + 1) * cfg.train.iters_per_epoch,
+                          epoch=epoch + 1)
 
         if cfg.train.checkpoint_dir:
-            self.save(cfg.train.checkpoint_dir, step=cfg.train.num_epochs,
+            self.save(cfg.train.checkpoint_dir,
+                      step=cfg.train.num_epochs * cfg.train.iters_per_epoch,
                       epoch=cfg.train.num_epochs)
         return self.logger.summary()
 
     # -------------------------------------------------------------------- checkpointing
-    def save(self, ckpt_dir: str, step: int, epoch: int | None = None) -> None:
+    def save(self, ckpt_dir: str, step: int, epoch: int | None = None,
+             iter_in_epoch: int = 0) -> None:
         """Persist params AND optimizer state (exact resume, unlike the reference's
-        params-only torch.save files; reference: src/kharmonic_lofar.py:210-222)."""
+        params-only torch.save files; reference: src/kharmonic_lofar.py:210-222).
+        ``iter_in_epoch`` > 0 marks a mid-epoch checkpoint: resume replays the sampler
+        stream to that iteration."""
         from lshm_tpu.utils.checkpoint import save_checkpoint
 
         self._sync_params()
         if self._params is None and self._state is None:
             print("warning: nothing to checkpoint (no training has run); skipping save")
             return
-        extras = {"config": self.cfg.to_dict(), "epoch": epoch}
-        if self._state is not None:
+        state, params = self._state, self._params
+        if jax.process_count() > 1:
+            # replicated global arrays -> host numpy; a single writer avoids
+            # cross-process orbax coordination (every host holds the full state)
+            state = jax.device_get(state)
+            params = jax.device_get(params)
+            if jax.process_index() != 0:
+                return
+        extras = {"config": self.cfg.to_dict(), "epoch": epoch,
+                  "iter": int(iter_in_epoch)}
+        if state is not None:
             ps = self.cfg.data.patch_size
             default_shape = [1, ps, ps, self.cfg.model.num_channels]
             extras["opt_kind"] = list(self._opt_kind)
             extras["batch_shape"] = list(
                 getattr(self, "_last_batch_shape", None) or default_shape
             )
-            save_checkpoint(ckpt_dir, {"full_state": self._state}, step, extras=extras)
+            save_checkpoint(ckpt_dir, {"full_state": state}, step, extras=extras)
         else:
-            save_checkpoint(ckpt_dir, {"params": self._params}, step, extras=extras)
+            save_checkpoint(ckpt_dir, {"params": params}, step, extras=extras)
 
     def load(self, ckpt_dir: str, step: int | None = None) -> None:
         """Restore a checkpoint: exact resume (params + optimizer state + epoch) when the
@@ -246,6 +359,10 @@ class Trainer:
             self._ensure_state(kind, group, x, uv)          # template structure
             restored, _ = restore_checkpoint(ckpt_dir, {"full_state": self._state}, step)
             self._state = restored["full_state"]
+            if self.mesh is not None:
+                from lshm_tpu.train.parallel import replicate_state
+
+                self._state = replicate_state(self.mesh, self._state)
             self._sync_params()
         else:
             if self._params is None:
@@ -259,6 +376,8 @@ class Trainer:
             self._state = None
         if extras and extras.get("epoch") is not None:
             self._resume_epoch = int(extras["epoch"])
+        if extras and extras.get("iter"):
+            self._resume_iter = int(extras["iter"])
 
 
 def train_from_config(cfg: Config) -> Trainer:

@@ -1,6 +1,7 @@
 """Data-layer tests: scanner, metadata, decode, uv math, patching, sampler."""
 
 import math
+import os
 
 import h5py
 import numpy as np
@@ -177,3 +178,44 @@ def test_sampler_determinism(synth_h5):
     b = MinibatchSampler([synth_h5], ["0"], cfg, seed=42).sample()
     np.testing.assert_array_equal(a.x, b.x)
     np.testing.assert_array_equal(a.uv, b.uv)
+
+
+def test_batch_reader_matches_per_baseline(synth_h5):
+    """read_baselines_patches_batch == per-baseline read_baseline_patches (patches, uv,
+    station pairs), with ONE h5 open per chunk instead of two per baseline."""
+    import h5py
+
+    from lshm_tpu.data.h5io import (
+        read_baseline_patches,
+        read_baselines_patches_batch,
+        read_metadata,
+    )
+
+    ids = [0, 2, 3]
+    opens = []
+    orig = h5py.File.__init__
+
+    def counting(self, *a, **kw):
+        target = a[0] if a else kw.get("name")
+        if isinstance(target, (str, bytes, os.PathLike)):   # real file opens only
+            opens.append(target)
+        return orig(self, *a, **kw)
+
+    h5py.File.__init__ = counting
+    try:
+        px, py, patches, uv, pairs = read_baselines_patches_batch(
+            synth_h5, "0", ids, patch_size=128, uvdist=True, give_baselines=True
+        )
+    finally:
+        h5py.File.__init__ = orig
+    assert len(opens) == 1, f"batch reader opened the file {len(opens)} times"
+
+    ppb = px * py
+    for i, b in enumerate(ids):
+        px1, py1, p1, uv1, bl1 = read_baseline_patches(
+            synth_h5, "0", b, patch_size=128, uvdist=True, give_baseline=True
+        )
+        assert (px1, py1) == (px, py)
+        np.testing.assert_allclose(patches[i * ppb : (i + 1) * ppb], p1, atol=1e-6)
+        np.testing.assert_allclose(uv[i * ppb : (i + 1) * ppb], uv1, atol=1e-6)
+        assert tuple(pairs[i]) == tuple(bl1)

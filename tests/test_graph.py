@@ -149,3 +149,36 @@ def test_station_graph_end_to_end(small_model, synth_h5):
     assert data.node_mask.sum() == 4             # all autocorrs present
     gmodel, gparams, losses = train_station_graph(data, epochs=30, edge_mlp_hidden=(16, 8))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_station_graph_epoch_rebuild_training(small_model, synth_h5, tmp_path):
+    """Per-epoch stochastic rebuild loop (reference: src/train_graph_stat.py:161-268,
+    VERDICT round 2 item 5): the SAME GraphNet + Adam state trains across >=3 randomly
+    rebuilt graphs (random SAP choice + fresh random patch per baseline) and the loss
+    decreases across rebuilds."""
+    from lshm_tpu.data.h5io import read_metadata
+    from lshm_tpu.data.synthetic import write_synthetic_h5
+    from lshm_tpu.graph import train_station_graph_epochs
+
+    model, params = small_model
+    # two SAP sources so the per-epoch random SAP draw is real
+    second = str(tmp_path / "L000002.MS_extract.h5")
+    write_synthetic_h5(second, nstations=4, ntime=192, nfreq=192, seed=11)
+    files, saps = [synth_h5, second], ["0", "0"]
+
+    baselines_per_sap = [read_metadata(f, s, give_baselines=True)[0]
+                         for f, s in zip(files, saps)]
+    stations, bmap = station_graph_maps(baselines_per_sap)
+
+    epochs, spg = 3, 12
+    gmodel, gparams, losses = train_station_graph_epochs(
+        model, params, files, saps, stations, bmap,
+        epochs=epochs, steps_per_graph=spg, edge_mlp_hidden=(16, 8), seed=5,
+    )
+    assert len(losses) == epochs * spg
+    assert np.isfinite(losses).all()
+    # optimizer state persists across rebuilds: the last rebuilt graph starts better
+    # than the first graph started, and the overall trend is down
+    assert losses[-1] < losses[0]
+    assert np.mean(losses[-spg:]) < np.mean(losses[:spg])

@@ -100,3 +100,79 @@ def test_two_process_data_parallel(synth_h5, tmp_path):
     assert not set(results[0]["hashes"]) & set(results[1]["hashes"]), results
     # both hosts see the globally-reduced gradient
     assert all(r["grad_err"] < 1e-5 for r in results), results
+
+
+_TRAINER_CHILD = """
+import hashlib, json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lshm_tpu.train.distributed import init_distributed
+pid, port, data_dir, out = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+init_distributed(f"localhost:{port}", 2, pid)
+assert jax.process_count() == 2
+
+import numpy as np
+from lshm_tpu.config import (
+    Config, DataConfig, LBFGSConfig, ModelConfig, OptimConfig, TrainConfig,
+)
+from lshm_tpu.data import MinibatchSampler, scan_files
+from lshm_tpu.train.trainer import Trainer
+from lshm_tpu.utils.metrics import MetricLogger
+
+cfg = Config(
+    data=DataConfig(batch_size=2, patch_size=128, num_channels=4, prefetch=0),
+    model=ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=4, rica=True),
+    optim=OptimConfig(optimizer="adam", adam_lr=1e-3),
+    train=TrainConfig(num_epochs=1, iters_per_epoch=2, admm_iters=2,
+                      checkpoint_dir=""),
+)
+files, saps = scan_files(data_dir, "L*.MS_extract.h5")
+sampler = MinibatchSampler(files, saps, cfg.data, seed=0)
+assert sampler._process_index == pid      # disjoint per-host stream
+
+t = Trainer(cfg, MetricLogger(echo=False))
+assert t.mesh is not None, "multi-process Trainer must build a global mesh"
+assert len(t.mesh.devices.flat) == len(jax.devices())
+summary = t.run(sampler)
+assert np.isfinite(summary["loss"]), summary
+
+# the one thing that matters: params BIT-IDENTICAL on both hosts after N steps
+# (without the gradient all-reduce the per-host replicas diverge immediately)
+leaves = jax.tree.leaves(jax.device_get(t.params))
+digest = hashlib.sha256(b"".join(np.ascontiguousarray(l).tobytes() for l in leaves))
+json.dump({"pid": pid, "digest": digest.hexdigest(), "loss": float(summary["loss"])},
+          open(out, "w"))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_trainer_identical_params(synth_h5, tmp_path):
+    """End-to-end 2-process Trainer (VERDICT round 2 item 2): per-host samplers feed a
+    global batch; GSPMD inserts the cross-process grad all-reduce; params stay
+    bit-identical on both hosts."""
+    port = _free_port()
+    child = tmp_path / "trainer_child.py"
+    child.write_text(_TRAINER_CHILD)
+    data_dir = os.path.dirname(synth_h5)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"tout{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(child), str(pid), str(port), data_dir, str(out)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    results = []
+    for p, out in zip(procs, outs):
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, f"child failed:\n{stdout}\n{stderr[-3000:]}"
+        results.append(json.load(open(out)))
+    assert results[0]["digest"] == results[1]["digest"], results
+    assert results[0]["loss"] == results[1]["loss"], results

@@ -107,6 +107,7 @@ def test_cli_synth_and_train(tmp_path, capsys):
     assert "done:" in out
 
 
+@pytest.mark.slow
 def test_exact_resume_roundtrip(synth_h5, tmp_path):
     """Full-state checkpoint: optimizer state + epoch restored; resumed run matches an
     uninterrupted run exactly (per-epoch reseeded sampler)."""
@@ -166,3 +167,134 @@ def test_trainer_prefetch_path(synth_h5):
     t = Trainer(cfg, MetricLogger(echo=False))
     summary = t.run(make_sampler(synth_h5, cfg))
     assert np.isfinite(summary["loss"])
+
+
+def test_trainer_mesh_sharded_run(synth_h5):
+    """cfg.train.mesh_shape > 1 routes every step through the GSPMD sharded path
+    (VERDICT round 2 item 2): runs on the 8 virtual CPU devices and stays finite."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, mesh_shape=(8,)))
+    t = Trainer(cfg, MetricLogger(echo=False))
+    assert t.mesh is not None and t.mesh.shape["data"] == 8
+    summary = t.run(make_sampler(synth_h5, cfg))
+    assert np.isfinite(summary["loss"])
+    # the live state is replicated over the mesh
+    leaf = jax.tree.leaves(t._state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_trainer_mesh_matches_unsharded(synth_h5):
+    """Same seed + same data stream: the mesh Trainer's params match the unsharded
+    Trainer's params (GSPMD reduction reorders float sums -> tolerance, not bitwise)."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    t1 = Trainer(cfg, MetricLogger(echo=False))
+    t1.run(make_sampler(synth_h5, cfg))
+
+    cfg8 = cfg.replace(train=dataclasses.replace(cfg.train, mesh_shape=(-1,)))
+    t2 = Trainer(cfg8, MetricLogger(echo=False))
+    assert t2.mesh is not None
+    t2.run(make_sampler(synth_h5, cfg8))
+
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_trainer_mesh_checkpoint_roundtrip(synth_h5, tmp_path):
+    import dataclasses
+
+    ckpt = str(tmp_path / "ck")
+    cfg = tiny_cfg(ckpt_dir=ckpt)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, mesh_shape=(8,),
+                                                checkpoint_dir=ckpt))
+    t = Trainer(cfg, MetricLogger(echo=False))
+    t.run(make_sampler(synth_h5, cfg))
+
+    t2 = Trainer(cfg, MetricLogger(echo=False))
+    t2.load(ckpt)
+    for a, b in zip(jax.tree.leaves(t.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_cli_train_mesh(tmp_path, capsys):
+    """`cli train --set train.mesh_shape=8` trains on 8 virtual devices
+    (VERDICT round 2 item 2 done-criterion)."""
+    import os
+
+    from lshm_tpu.cli import main
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    main(["synth", "--out", data_dir, "--nstations", "4", "--ntime", "192",
+          "--nfreq", "192"])
+    capsys.readouterr()
+    main([
+        "train", "--data-dir", data_dir, "--preset", "full_khm",
+        "--set", "train.mesh_shape=8",
+        "--set", "train.num_epochs=1", "--set", "train.iters_per_epoch=1",
+        "--set", "train.admm_iters=1", "--set", "data.batch_size=2",
+        "--set", "model.latent_dim=16", "--set", "model.latent_dim_1d=8",
+        "--set", "model.num_clusters=3",
+        "--set", f"train.checkpoint_dir={tmp_path}/cli_ckpt",
+    ])
+    out = capsys.readouterr().out
+    assert "mesh: {'data': 8}" in out
+    assert "done:" in out
+
+
+@pytest.mark.slow
+def test_mid_epoch_exact_resume(synth_h5, tmp_path):
+    """Kill/resume mid-epoch reproduces the uninterrupted run exactly (VERDICT round 2
+    item 8): save_every_iters checkpoints (epoch, iter); resume repositions the sampler
+    stream via skip() and finishes the epoch on the same minibatches."""
+    import dataclasses
+
+    ckpt = str(tmp_path / "ck")
+    base = tiny_cfg()
+    cfg = base.replace(train=dataclasses.replace(
+        base.train, num_epochs=1, iters_per_epoch=4, admm_iters=2,
+        checkpoint_dir=ckpt, save_every_iters=2,
+    ))
+
+    # uninterrupted run
+    cfg_full = cfg.replace(train=dataclasses.replace(cfg.train, checkpoint_dir="",
+                                                     save_every_iters=0))
+    t_full = Trainer(cfg_full, MetricLogger(echo=False))
+    t_full.run(make_sampler(synth_h5, cfg_full))
+
+    # interrupted: run with mid-epoch saves, then resume from the iter-2 checkpoint
+    t_a = Trainer(cfg, MetricLogger(echo=False))
+    t_a.run(make_sampler(synth_h5, cfg))
+
+    from lshm_tpu.utils.checkpoint import latest_step
+
+    # resume specifically from the MID-epoch checkpoint (step 2), not the final one
+    t_b = Trainer(cfg_full, MetricLogger(echo=False))
+    t_b.load(ckpt, step=2)
+    assert t_b._resume_epoch == 0 and t_b._resume_iter == 2
+    logger_b = t_b.logger
+    t_b.run(make_sampler(synth_h5, cfg_full))
+
+    for a, b in zip(jax.tree.leaves(t_full.params), jax.tree.leaves(t_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sampler_skip_matches_sampling(synth_h5):
+    """skip(n) advances the rng stream exactly as n sample() calls would."""
+    from lshm_tpu.config import DataConfig
+    from lshm_tpu.data import MinibatchSampler
+
+    for augment in (False, True):
+        cfg = DataConfig(batch_size=2, patch_size=128, augment=augment)
+        a = MinibatchSampler([synth_h5], ["0"], cfg, seed=3)
+        b = MinibatchSampler([synth_h5], ["0"], cfg, seed=3)
+        for _ in range(3):
+            a.sample()
+        b.skip(3)
+        np.testing.assert_array_equal(a.sample().x, b.sample().x)
