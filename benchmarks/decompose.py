@@ -27,24 +27,47 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def _force(out) -> float:
-    leaf = jax.tree.leaves(out)[0]
-    return float(jax.device_get(jnp.ravel(jnp.asarray(leaf))[0]))
+def _perturb_first_float_leaf(tree, carry):
+    """Thread ``carry`` into one float leaf of ``tree``: a true data dependency, so
+    repeated calls SERIALIZE on device.  Independent repeats are overlapped/reordered
+    by this backend and time as impossible TFLOP/s (554 observed for a 197-peak chip),
+    so chaining is mandatory.  carry*1e-30 changes values by <=1 ulp-ish noise."""
+    leaves, treedef = jax.tree.flatten(tree)
+    out, done = [], False
+    for leaf in leaves:
+        if (not done and hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)):
+            out.append(leaf + (carry * 1e-30).astype(leaf.dtype))
+            done = True
+        else:
+            out.append(leaf)
+    return jax.tree.unflatten(treedef, out)
 
 
 def time_fn(fn, args, n1: int = 2, n2: int = 8, reps: int = 3) -> dict:
-    """Two-point honest timing of fn(*args): marginal sec/call, RTT-free."""
-    compiled = jax.jit(fn).lower(*args).compile()
+    """Two-point honest timing of fn(*args): marginal sec/call, RTT-free, with the
+    calls chained through a carry scalar so the device must run them serially."""
+
+    def chained(carry, *a):
+        a = (_perturb_first_float_leaf(a[0], carry),) + tuple(a[1:])
+        out = fn(*a)
+        new_carry = jnp.ravel(jnp.asarray(jax.tree.leaves(out)[0]))[0]
+        # return the FULL output: a carry-only return lets XLA dead-code-eliminate
+        # the workload down to the one element the carry touches
+        return new_carry.astype(jnp.float32), out
+
+    carry0 = jnp.zeros((), jnp.float32)
+    compiled = jax.jit(chained).lower(carry0, *args).compile()
     flops = bench._cost_flops(compiled)
-    out = compiled(*args)
-    _force(out)
+    carry, _ = compiled(carry0, *args)
+    float(jax.device_get(carry))          # warmup + completion
 
     def run(n):
-        o = None
+        c = carry0
         t0 = time.perf_counter()
         for _ in range(n):
-            o = compiled(*args)
-        _force(o)
+            c, _ = compiled(c, *args)
+        float(jax.device_get(c))          # blocks until the whole chain executed
         return time.perf_counter() - t0
 
     pairs = [(run(n1), run(n2)) for _ in range(reps)]
@@ -104,8 +127,14 @@ def main():
         iy = x.reshape(x.shape[0], -1, x.shape[-1])
         return model.apply(p, iy, uv, method=lambda m, s, uv: m.aeT(s, uv))[0]
 
+    step10 = make_train_step(model, tx, cfg, num_groups=nbase, donate=False, jit=False)
+    cfg1 = cfg.replace(train=__import__("dataclasses").replace(cfg.train, admm_iters=1))
+    step1 = make_train_step(model, tx, cfg1, num_groups=nbase, donate=False, jit=False)
+
     components = {
         "matmul_4096_f32": (lambda A: A @ A, (a,)),
+        "train_step_nadmm10": (lambda s: step10(s, x, uv, w)[0].params, (state,)),
+        "train_step_nadmm1": (lambda s: step1(s, x, uv, w)[0].params, (state,)),
         "forward_1d_only": (fwd_1d, (params,)),
         "matmul_4096_bf16": (
             lambda A: (A.astype(jnp.bfloat16) @ A.astype(jnp.bfloat16)), (a,)),
@@ -116,6 +145,36 @@ def main():
         "adam_update": (adam_update, (params,)),
         "dual_update_fwd": (dual_fwd, (params,)),
     }
+    # --- layout / bandwidth probes: where does the conv stack's time actually go? ---
+    from jax import lax
+
+    kk = jax.random.fold_in(key, 7)
+    W2d = 0.1 * jax.random.normal(kk, (4, 4, 4, 8), jnp.float32)       # HWIO
+    W1d = 0.1 * jax.random.normal(kk, (4, 4, 8), jnp.float32)          # WIO
+    Wt2d = 0.1 * jax.random.normal(kk, (4, 4, 8, 4), jnp.float32)
+    x1d = x.reshape(x.shape[0], -1, x.shape[-1])                       # [N, 16384, C]
+    h8 = jnp.zeros((x.shape[0], 64, 64, 8), jnp.float32)
+
+    components.update({
+        # elementwise on the NHWC input (C=4 minor: lane-padded layout?) vs a
+        # lane-friendly flattening of the same bytes
+        "copy_nhwc_c4": (lambda t: t + 1.0, (x,)),
+        "copy_flat_512": (lambda t: t + 1.0, (x.reshape(x.shape[0] * 128, -1),)),
+        # single first-layer convs, isolated
+        "conv2d_l1_alone": (
+            lambda t: lax.conv_general_dilated(
+                t, W2d, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")), (x,)),
+        "conv1d_l1_alone": (
+            lambda t: lax.conv_general_dilated(
+                t, W1d, (4,), ((1, 1),),
+                dimension_numbers=("NWC", "WIO", "NWC")), (x1d,)),
+        "tconv2d_last_alone": (
+            lambda t: lax.conv_transpose(
+                t, Wt2d, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")), (h8,)),
+    })
+
     sel = args.only.split(",") if args.only else list(components)
     for name in sel:
         fn, fargs = components[name]

@@ -73,9 +73,12 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--batches", default=None,
                     help="comma list overriding the default sweep (remat auto >=768)")
+    ap.add_argument("--remat", choices=["auto", "on", "off"], default="auto")
     args = ap.parse_args()
+    def _remat(b):
+        return {"auto": b >= 768, "on": True, "off": False}[args.remat]
     configs = (
-        [(int(b), int(b) >= 768) for b in args.batches.split(",")]
+        [(int(b), _remat(int(b))) for b in args.batches.split(",")]
         if args.batches else list(CONFIGS)
     )
 

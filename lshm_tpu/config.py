@@ -51,11 +51,12 @@ class ModelConfig:
     khm_order: int = 4                # Khp: p in 1/||.||^p
     harmonic_scales: tuple[float, ...] = (1e-4, 1e-3, 1e-2, 1e-1)
     rica: bool = True                 # reconstruction-ICA sparse latent heads
-    # KHM loss backend: "xla" (fused jnp expression; GSPMD-safe for multi-chip, and
-    # ~7% faster than pallas INSIDE the fused train step, where XLA fuses it with
-    # neighbors while a custom call is a fusion barrier), "pallas" (fused VMEM kernel;
-    # 32-37x faster when the loss+grad runs STANDALONE, where per-op dispatch
-    # dominates — benchmarks/khm_backend_compare.json), "auto" (pallas on TPU)
+    # KHM loss backend: "xla" (fused jnp expression; GSPMD-safe for multi-chip; the
+    # default — inside the fused train step XLA fuses it with neighbors while a
+    # custom call is a fusion barrier), "pallas" (fused VMEM kernel with analytic
+    # VJP), "auto" (pallas on TPU).  NOTE: the round-2 standalone 32-37x pallas
+    # comparison was invalidated with the rest of the dispatch-rate timings
+    # (VERDICT round 2); both backends remain parity-tested.
     khm_backend: str = "xla"
     # compute dtype for conv/dense activations ("float32" | "bfloat16"); params stay f32.
     # bfloat16 feeds the v5e MXU natively (f32 convs lower to multi-pass bf16).
@@ -171,6 +172,13 @@ class TrainConfig:
     precision: str = "float32"        # compute dtype for conv/matmul inputs
     remat: bool = False               # jax.checkpoint the cascade forward (trade FLOPs
                                       # for HBM when patch batches grow large)
+    # Unroll the ADMM inner loop into straight-line XLA instead of lax.scan.
+    # Measured on TPU v5e (benchmarks/decompose.py, 2026-08-17): the identical
+    # iteration body runs 6.4x SLOWER inside the while-loop lowering (79 vs 12.3
+    # ms/iter at batch 420) — loop-body layout/fusion pessimization — so unrolling
+    # is a pure win for the static, small admm_iters counts used here (compile time
+    # scales with admm_iters; the math is identical either way).
+    admm_unroll: bool = True
     skip_nonfinite: bool = True       # drop minibatches whose step produced NaN/Inf loss
                                       # (keep previous state) — the explicit version of
                                       # the reference's scattered NaN tolerance

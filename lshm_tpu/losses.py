@@ -116,6 +116,12 @@ def mse_sum(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def admm_term(y: jnp.ndarray, residual: jnp.ndarray, rho: float) -> jnp.ndarray:
     """Augmented-Lagrangian term y . vec(r) + rho/2 * ||r||^2, un-normalized
-    (caller divides by numel; reference: src/kharmonic_lofar.py:156-158)."""
+    (caller divides by numel; reference: src/kharmonic_lofar.py:156-158).
+
+    ``y`` may be flat [numel] (reference representation) or shaped like the residual
+    (the TPU-preferred representation: avoids a 110 MB relayout per term — duals
+    created by ``Duals.zeros_like`` keep the residual's own NHWC layout)."""
+    if y.shape == residual.shape:
+        return jnp.sum(y * residual) + 0.5 * rho * jnp.sum(residual * residual)
     r = residual.reshape(-1)
     return jnp.dot(y, r) + 0.5 * rho * jnp.dot(r, r)

@@ -64,10 +64,24 @@ class Duals:
 
     @classmethod
     def zeros(cls, numel: int, dtype=jnp.float32, fourier: bool = False) -> "Duals":
+        """Flat duals (the reference's representation, src/kharmonic_lofar.py:128-130)."""
         z = jnp.zeros((numel,), dtype)
         if fourier:
             return cls(y1=z, y2=jnp.zeros((2 * numel,), dtype),
                        y3=jnp.zeros((0,), dtype))
+        return cls(y1=z, y2=z, y3=z)
+
+    @classmethod
+    def zeros_like(cls, x: jnp.ndarray, fourier: bool = False) -> "Duals":
+        """Duals shaped like the residuals they multiply (same math as ``zeros`` —
+        a dual is just a vector of numel Lagrange multipliers — but keeping the
+        residual's own NHWC shape avoids a full relayout of each 110 MB-scale dual
+        per ADMM term on TPU)."""
+        z = jnp.zeros_like(x)
+        if fourier:
+            yf_shape = (*x.shape[:-1], 2 * x.shape[-1])
+            return cls(y1=z, y2=jnp.zeros(yf_shape, x.dtype),
+                       y3=jnp.zeros((0,), x.dtype))
         return cls(y1=z, y2=z, y3=z)
 
 
@@ -146,8 +160,8 @@ def metrics_and_dual_update(
         loss3 = jnp.zeros(())
         latents = (out.mu, out.muT)
         new_duals = Duals(
-            y1=duals.y1 + w.rho * (x - out.x1).reshape(-1),
-            y2=duals.y2 + w.rho * r2.reshape(-1),
+            y1=duals.y1 + w.rho * (x - out.x1).reshape(duals.y1.shape),
+            y2=duals.y2 + w.rho * r2.reshape(duals.y2.shape),
             y3=duals.y3,
         )
     else:
@@ -155,9 +169,9 @@ def metrics_and_dual_update(
         loss3 = admm_term(duals.y3, out.x11 - out.x3, w.rho) / numel
         latents = (out.mu, out.muT, out.muF)
         new_duals = Duals(
-            y1=duals.y1 + w.rho * (x - out.x1).reshape(-1),
-            y2=duals.y2 + w.rho * (out.x11 - out.x2).reshape(-1),
-            y3=duals.y3 + w.rho * (out.x11 - out.x3).reshape(-1),
+            y1=duals.y1 + w.rho * (x - out.x1).reshape(duals.y1.shape),
+            y2=duals.y2 + w.rho * (out.x11 - out.x2).reshape(duals.y2.shape),
+            y3=duals.y3 + w.rho * (out.x11 - out.x3).reshape(duals.y3.shape),
         )
 
     M = params["params"]["khm"]["M"]
@@ -234,14 +248,14 @@ def dual_update_from_outputs(out, x: jnp.ndarray, duals: Duals, rho) -> Duals:
     if out.yf_in is not None:
         r2 = out.yf_in - out.yf_out
         return Duals(
-            y1=duals.y1 + rho * (x - out.x1).reshape(-1),
-            y2=duals.y2 + rho * r2.reshape(-1),
+            y1=duals.y1 + rho * (x - out.x1).reshape(duals.y1.shape),
+            y2=duals.y2 + rho * r2.reshape(duals.y2.shape),
             y3=duals.y3,
         )
     return Duals(
-        y1=duals.y1 + rho * (x - out.x1).reshape(-1),
-        y2=duals.y2 + rho * (out.x11 - out.x2).reshape(-1),
-        y3=duals.y3 + rho * (out.x11 - out.x3).reshape(-1),
+        y1=duals.y1 + rho * (x - out.x1).reshape(duals.y1.shape),
+        y2=duals.y2 + rho * (out.x11 - out.x2).reshape(duals.y2.shape),
+        y3=duals.y3 + rho * (out.x11 - out.x3).reshape(duals.y3.shape),
     )
 
 
@@ -252,12 +266,12 @@ def dual_update(model, params, x, uv, duals: Duals, rho) -> Duals:
     if out.yf_in is not None:
         r2 = out.yf_in - out.yf_out
         return Duals(
-            y1=duals.y1 + rho * (x - out.x1).reshape(-1),
-            y2=duals.y2 + rho * r2.reshape(-1),
+            y1=duals.y1 + rho * (x - out.x1).reshape(duals.y1.shape),
+            y2=duals.y2 + rho * r2.reshape(duals.y2.shape),
             y3=duals.y3,
         )
     return Duals(
-        y1=duals.y1 + rho * (x - out.x1).reshape(-1),
-        y2=duals.y2 + rho * (out.x11 - out.x2).reshape(-1),
-        y3=duals.y3 + rho * (out.x11 - out.x3).reshape(-1),
+        y1=duals.y1 + rho * (x - out.x1).reshape(duals.y1.shape),
+        y2=duals.y2 + rho * (out.x11 - out.x2).reshape(duals.y2.shape),
+        y3=duals.y3 + rho * (out.x11 - out.x3).reshape(duals.y3.shape),
     )

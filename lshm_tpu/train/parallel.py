@@ -97,7 +97,7 @@ def make_train_step_shard_map(
     def body(state, x_local, uv_local, w):
         import optax
 
-        duals = Duals.zeros(x_local.size, x_local.dtype, fourier=cfg.model.fourier_variant)
+        duals = Duals.zeros_like(x_local, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):
             params, opt_state, duals = carry
@@ -109,8 +109,11 @@ def make_train_step_shard_map(
             duals = dual_update(model, params, x_local, uv_local, duals, w.rho)
             return (params, opt_state, duals), metrics
 
-        (params, opt_state, _), metrics = jax.lax.scan(
-            admm_iter, (state.params, state.opt_state, duals), None, length=nadmm
+        from lshm_tpu.train.step import admm_loop
+
+        (params, opt_state, _), metrics = admm_loop(
+            admm_iter, (state.params, state.opt_state, duals), nadmm,
+            cfg.train.admm_unroll,
         )
         return (
             state.replace(params=params, opt_state=opt_state, step=state.step + 1),

@@ -32,6 +32,23 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
+def admm_loop(body, carry, nadmm: int, unroll: bool, xs=None):
+    """Run the ADMM inner loop ``nadmm`` times: straight-line unrolled (default) or
+    as one ``lax.scan``.
+
+    Identical math; unrolled is ~6.4x faster per iteration on TPU v5e because the
+    while-loop lowering pessimizes the body's layouts/fusion (decompose.py,
+    2026-08-17: 12.3 vs 79 ms/iter at batch 420).  Returns (carry, stacked metrics)
+    exactly like ``lax.scan``."""
+    if unroll:
+        ms = []
+        for i in range(nadmm):
+            carry, m = body(carry, None if xs is None else xs[i])
+            ms.append(m)
+        return carry, jax.tree.map(lambda *v: jnp.stack(v), *ms)
+    return jax.lax.scan(body, carry, xs, length=nadmm)
+
+
 def make_optimizer(cfg: Config, params: Any, group: str = "all") -> optax.GradientTransformation:
     """Adam (optionally restricted to one model group, the config equivalent of the
     reference's hand-edited parameter list at src/kharmonic_lofar.py:86-92): frozen
@@ -84,6 +101,7 @@ def make_train_step(
     (x1/x11/x2/x3/xrecon), while XLA fuses the composed form's backward — so the default
     stays unfused; the path is kept as a documented negative result."""
     nadmm = cfg.train.admm_iters
+    unroll = cfg.train.admm_unroll
     use_rica = cfg.model.rica
     khm_order = cfg.model.khm_order
     khm_backend = cfg.model.khm_backend
@@ -100,7 +118,7 @@ def make_train_step(
     grad_fn = jax.value_and_grad(objective, has_aux=True)
 
     def train_step_unfused(state: TrainState, x, uv, w: LossWeights):
-        duals = Duals.zeros(x.size, x.dtype, fourier=cfg.model.fourier_variant)
+        duals = Duals.zeros_like(x, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):
             params, opt_state, duals = carry
@@ -110,8 +128,8 @@ def make_train_step(
             duals = dual_update(model, params, x, uv, duals, w.rho)
             return (params, opt_state, duals), metrics
 
-        (params, opt_state, _), metrics = jax.lax.scan(
-            admm_iter, (state.params, state.opt_state, duals), None, length=nadmm
+        (params, opt_state, _), metrics = admm_loop(
+            admm_iter, (state.params, state.opt_state, duals), nadmm, unroll
         )
         return (
             state.replace(params=params, opt_state=opt_state, step=state.step + 1),
@@ -135,7 +153,7 @@ def make_train_step(
     )
 
     def train_step_fused(state: TrainState, x, uv, w: LossWeights):
-        duals0 = Duals.zeros(x.size, x.dtype, fourier=cfg.model.fourier_variant)
+        duals0 = Duals.zeros_like(x, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, t):
             params, opt_state, duals = carry
@@ -152,9 +170,9 @@ def make_train_step(
             params = optax.apply_updates(params, updates)
             return (params, opt_state, duals), metrics
 
-        (params, opt_state, _), metrics = jax.lax.scan(
-            admm_iter, (state.params, state.opt_state, duals0),
-            jnp.arange(nadmm),
+        (params, opt_state, _), metrics = admm_loop(
+            admm_iter, (state.params, state.opt_state, duals0), nadmm, unroll,
+            xs=jnp.arange(nadmm),
         )
         return (
             state.replace(params=params, opt_state=opt_state, step=state.step + 1),
@@ -208,6 +226,7 @@ def make_lbfgs_train_step(
     from lshm_tpu.train.schedule import group_mask
 
     nadmm = cfg.train.admm_iters
+    unroll = cfg.train.admm_unroll
     use_rica = cfg.model.rica
     khm_order = cfg.model.khm_order
     khm_backend = cfg.model.khm_backend
@@ -238,7 +257,7 @@ def make_lbfgs_train_step(
     lbfgs_step = make_lbfgs_step(vg_fn, value_fn, cfg.optim.lbfgs)
 
     def train_step(state: LBFGSTrainState, x, uv, w: LossWeights):
-        duals = Duals.zeros(x.size, x.dtype, fourier=cfg.model.fourier_variant)
+        duals = Duals.zeros_like(x, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):
             params, opt_state, duals = carry
@@ -250,8 +269,8 @@ def make_lbfgs_train_step(
             )
             return (res.x, res.state, duals), metrics
 
-        (params, opt_state, _), metrics = jax.lax.scan(
-            admm_iter, (state.params, state.opt_state, duals), None, length=nadmm
+        (params, opt_state, _), metrics = admm_loop(
+            admm_iter, (state.params, state.opt_state, duals), nadmm, unroll
         )
         return (
             state.replace(params=params, opt_state=opt_state, step=state.step + 1),

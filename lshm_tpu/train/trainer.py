@@ -314,12 +314,13 @@ class Trainer:
             return
         state, params = self._state, self._params
         if jax.process_count() > 1:
-            # replicated global arrays -> host numpy; a single writer avoids
-            # cross-process orbax coordination (every host holds the full state)
+            # replicated global arrays -> host numpy on EVERY process, then all
+            # processes enter save_checkpoint together: orbax's CheckpointManager
+            # runs cross-process barriers at save boundaries, so a single-writer
+            # early-return would deadlock the barrier; its primary-host logic
+            # already makes process 0 the actual writer
             state = jax.device_get(state)
             params = jax.device_get(params)
-            if jax.process_index() != 0:
-                return
         extras = {"config": self.cfg.to_dict(), "epoch": epoch,
                   "iter": int(iter_in_epoch)}
         if state is not None:

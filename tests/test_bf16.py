@@ -2,6 +2,7 @@
 and produces finite losses close to the f32 path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +21,7 @@ def _cfg(dtype):
     )
 
 
+@pytest.mark.slow
 def test_bf16_forward_close_to_f32_and_params_f32():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 4))
     uv = jnp.ones((2, 2))
@@ -39,6 +41,7 @@ def test_bf16_forward_close_to_f32_and_params_f32():
     assert diff < 0.15 * scale + 0.1, (diff, scale)
 
 
+@pytest.mark.slow
 def test_bf16_loss_terms_close_to_f32():
     """Accuracy gate for the bf16 benchmark path: every loss term of the first ADMM
     iteration must agree with f32 within bf16 resolution."""
@@ -58,6 +61,7 @@ def test_bf16_loss_terms_close_to_f32():
         assert abs(a - b) <= 0.05 * abs(a) + 5e-3, (k, a, b)
 
 
+@pytest.mark.slow
 def test_bf16_nmi_vs_f32(synth_h5):
     """NMI gate: soft cluster assignments from the bf16 cascade must match the f32
     assignments on the synthetic SAP (the BASELINE.md parity statistic)."""
@@ -79,6 +83,7 @@ def test_bf16_nmi_vs_f32(synth_h5):
     assert nmi(soft32, soft16) >= 0.95, (soft32, soft16)
 
 
+@pytest.mark.slow
 def test_bf16_train_step_finite():
     cfg = _cfg("bfloat16")
     model = CascadedAE(cfg=cfg.model)

@@ -1,6 +1,7 @@
 """L-BFGS ADMM train-step tests on the full cascade (small latent dims, CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def make_batch(key, n=8):
     return x, uv
 
 
+@pytest.mark.slow
 def test_lbfgs_train_step_improves():
     cfg = make_cfg()
     model = CascadedAE(cfg=cfg.model)
@@ -53,6 +55,7 @@ def test_lbfgs_train_step_improves():
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
 def test_lbfgs_group_masked_step():
     cfg = make_cfg()
     model = CascadedAE(cfg=cfg.model)

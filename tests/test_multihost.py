@@ -103,7 +103,7 @@ def test_two_process_data_parallel(synth_h5, tmp_path):
 
 
 _TRAINER_CHILD = """
-import hashlib, json, sys
+import hashlib, json, os, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
 from lshm_tpu.train.distributed import init_distributed
@@ -124,7 +124,7 @@ cfg = Config(
     model=ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=4, rica=True),
     optim=OptimConfig(optimizer="adam", adam_lr=1e-3),
     train=TrainConfig(num_epochs=1, iters_per_epoch=2, admm_iters=2,
-                      checkpoint_dir=""),
+                      checkpoint_dir=os.path.join(os.path.dirname(out), "shared_ckpt")),
 )
 files, saps = scan_files(data_dir, "L*.MS_extract.h5")
 sampler = MinibatchSampler(files, saps, cfg.data, seed=0)
@@ -140,6 +140,15 @@ assert np.isfinite(summary["loss"]), summary
 # (without the gradient all-reduce the per-host replicas diverge immediately)
 leaves = jax.tree.leaves(jax.device_get(t.params))
 digest = hashlib.sha256(b"".join(np.ascontiguousarray(l).tobytes() for l in leaves))
+
+# multi-process checkpointing: all processes enter orbax together; reload matches
+ckdir = os.path.join(os.path.dirname(out), "shared_ckpt")
+assert os.path.isdir(ckdir), "multi-process save wrote nothing"
+t2 = Trainer(cfg, MetricLogger(echo=False))
+t2.load(ckdir)
+for a, b in zip(jax.tree.leaves(t.params), jax.tree.leaves(t2.params)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 json.dump({"pid": pid, "digest": digest.hexdigest(), "loss": float(summary["loss"])},
           open(out, "w"))
 """

@@ -94,6 +94,7 @@ def test_masked_step_freezes_other_groups(setup):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fourier_variant_step():
     cfg = tiny_config(fourier_variant=True, latent_dim_fourier=8)
     model = CascadedAE(cfg=cfg.model)
@@ -104,6 +105,7 @@ def test_fourier_variant_step():
     assert np.all(np.isfinite(np.asarray(metrics["loss"])))
 
 
+@pytest.mark.slow
 def test_fourier_sharded_step_matches_single_device():
     """The legacy Fourier variant (full-residual duals sized 2*numel) under the GSPMD
     data-parallel path must match the single-device step."""
@@ -130,6 +132,7 @@ def test_fourier_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(setup):
     from lshm_tpu.train.parallel import shard_batch, train_step_sharded
 
@@ -154,6 +157,7 @@ def test_sharded_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_lbfgs_sharded_step_matches_single_device(setup):
     """Distributed stochastic L-BFGS via GSPMD: the whole step — two-loop recursion,
     on-device line searches included — partitions over the data mesh (every loss/grad
@@ -203,6 +207,7 @@ def test_ramp_schedule():
     assert active_group((), 5) == "all"
 
 
+@pytest.mark.slow
 def test_remat_step_matches(setup):
     """remat=True must not change results, only memory/FLOPs trade-off."""
     import dataclasses
@@ -221,6 +226,7 @@ def test_remat_step_matches(setup):
     )
 
 
+@pytest.mark.slow
 def test_8channel_cascade():
     """Full 8-channel (all four polarizations) mode end-to-end."""
     cfg = Config(
@@ -247,6 +253,7 @@ def test_config_channel_mismatch_rejected():
         )
 
 
+@pytest.mark.slow
 def test_sharded_step_contains_allreduce(setup):
     """GSPMD must turn the batch-reduced losses into cross-device all-reduces."""
     from lshm_tpu.train.parallel import (
@@ -264,6 +271,7 @@ def test_sharded_step_contains_allreduce(setup):
     assert "all-reduce" in hlo, "expected cross-device gradient reduction"
 
 
+@pytest.mark.slow
 def test_shard_map_step_matches_single_device(setup):
     """Explicit-collective shard_map path must agree with the single-device step."""
     from lshm_tpu.train.parallel import (
@@ -285,6 +293,7 @@ def test_shard_map_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_step_matches_unfused(setup):
     """The fused (one fwd+vjp per ADMM iter) step must reproduce the reference-ordered
     unfused sequence exactly."""
@@ -299,3 +308,21 @@ def test_fused_step_matches_unfused(setup):
                                    rtol=1e-5, atol=1e-7, err_msg=k)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_admm_unroll_matches_scan(setup):
+    """TrainConfig.admm_unroll (straight-line inner loop; 6.4x faster on TPU per
+    benchmarks/PERF_NOTES.md) is numerically the same program as the lax.scan path."""
+    import dataclasses
+
+    cfg, model, x, uv, state, tx = setup
+    assert cfg.train.admm_unroll  # unrolled is the default
+    cfg_scan = cfg.replace(train=dataclasses.replace(cfg.train, admm_unroll=False))
+    w = LossWeights()
+    s1, m1 = make_train_step(model, tx, cfg, num_groups=2, donate=False)(state, x, uv, w)
+    s2, m2 = make_train_step(model, tx, cfg_scan, num_groups=2, donate=False)(state, x, uv, w)
+    assert m1["loss"].shape == m2["loss"].shape == (cfg.train.admm_iters,)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

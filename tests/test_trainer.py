@@ -42,6 +42,7 @@ def test_trainer_runs_and_logs(synth_h5):
     assert np.isfinite(summary["loss"])
 
 
+@pytest.mark.slow
 def test_trainer_ramp_optimizer_switch(synth_h5):
     cfg = tiny_cfg()
     cfg = cfg.replace(train=TrainConfig(
@@ -138,6 +139,7 @@ def test_exact_resume_roundtrip(synth_h5, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_profile_dir_trace_capture(synth_h5, tmp_path):
     """--profile-dir captures a jax.profiler trace of the first epoch."""
     import os
@@ -159,6 +161,7 @@ def test_config_override_empty_tuple():
     assert cfg.model.harmonic_scales == (0.1, 0.2)
 
 
+@pytest.mark.slow
 def test_trainer_prefetch_path(synth_h5):
     import dataclasses
 
