@@ -44,9 +44,14 @@ def _perturb_first_float_leaf(tree, carry):
     return jax.tree.unflatten(treedef, out)
 
 
-def time_fn(fn, args, n1: int = 2, n2: int = 8, reps: int = 3) -> dict:
+def time_fn(fn, args, n1: int = 2, n2: int = 8, reps: int = 3,
+            min_window: float = 0.05) -> dict:
     """Two-point honest timing of fn(*args): marginal sec/call, RTT-free, with the
-    calls chained through a carry scalar so the device must run them serially."""
+    calls chained through a carry scalar so the device must run them serially.
+
+    ``min_window``: if the n2 run finishes faster than this (sub-resolution ops return
+    garbage marginals, even negative), n1/n2 are scaled up until the window is wide
+    enough for the relay's ~0.1-0.5 ms host-timer noise to be negligible."""
 
     def chained(carry, *a):
         a = (_perturb_first_float_leaf(a[0], carry),) + tuple(a[1:])
@@ -70,9 +75,15 @@ def time_fn(fn, args, n1: int = 2, n2: int = 8, reps: int = 3) -> dict:
         float(jax.device_get(c))          # blocks until the whole chain executed
         return time.perf_counter() - t0
 
+    # widen the window for tiny ops so timer noise can't produce negative marginals
+    probe = run(n2)
+    while probe < min_window and n2 < 4096:
+        n1, n2 = n1 * 4, n2 * 4
+        probe = run(n2)
+
     pairs = [(run(n1), run(n2)) for _ in range(reps)]
     sec = min((d2 - d1) / (n2 - n1) for d1, d2 in pairs)
-    r = {"sec_per_call": sec, "flops": flops}
+    r = {"sec_per_call": sec, "flops": flops, "n1": n1, "n2": n2}
     if flops:
         r["tflops_per_sec"] = flops / sec / 1e12
     return r
@@ -131,11 +142,26 @@ def main():
     cfg1 = cfg.replace(train=__import__("dataclasses").replace(cfg.train, admm_iters=1))
     step1 = make_train_step(model, tx, cfg1, num_groups=nbase, donate=False, jit=False)
 
+    def grad_2d_only(p):
+        def loss(p):
+            x1 = model.apply(p, x, uv, method=lambda m, x, uv: m.ae2d(x, uv))[0]
+            return jnp.sum((x1 - x) ** 2)
+        return jax.grad(loss)(p)
+
+    def grad_1d_only(p):
+        iy = x.reshape(x.shape[0], -1, x.shape[-1])
+        def loss(p):
+            y = model.apply(p, iy, uv, method=lambda m, s, uv: m.aeT(s, uv))[0]
+            return jnp.sum((y - iy) ** 2)
+        return jax.grad(loss)(p)
+
     components = {
         "matmul_4096_f32": (lambda A: A @ A, (a,)),
         "train_step_nadmm10": (lambda s: step10(s, x, uv, w)[0].params, (state,)),
         "train_step_nadmm1": (lambda s: step1(s, x, uv, w)[0].params, (state,)),
         "forward_1d_only": (fwd_1d, (params,)),
+        "grad_2d_only": (grad_2d_only, (params,)),
+        "grad_1d_only": (grad_1d_only, (params,)),
         "matmul_4096_bf16": (
             lambda A: (A.astype(jnp.bfloat16) @ A.astype(jnp.bfloat16)), (a,)),
         "forward_cascade": (forward, (params,)),

@@ -51,7 +51,10 @@ def main():
     rows = {}
     for backend in ("xla", "pallas"):
         try:
-            rows[backend] = decompose.time_fn(fn_for(backend), (X,))
+            # many calls per point: the loss+grad is microseconds of device work at
+            # flagship sizes, so small n would measure dispatch noise (negative
+            # marginals observed at n=420 with n2=8)
+            rows[backend] = decompose.time_fn(fn_for(backend), (X,), n1=8, n2=64)
         except Exception as e:
             rows[backend] = {"error": repr(e)[:300]}
 

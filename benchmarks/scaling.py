@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  (repo-root bench.py: shared honest-timing helpers)
 import jax  # noqa: E402
 
-# (batch, remat); 1536 OOMs even rematerialized (round-2 sweep)
-CONFIGS = ((12, False), (96, False), (420, False), (768, True), (1408, True))
+# (batch, remat).  Under the unrolled ADMM loop even batch 1408 fits WITHOUT remat
+# (scaling_noremat.json: 768 -> 32.5k, 1408 -> 31.7k patches/s; remat costs ~17%),
+# so the default sweep is remat-free; pass --remat on to study the remat tax.
+CONFIGS = ((12, False), (96, False), (420, False), (768, False), (1408, False))
 NADMM = 10
 
 

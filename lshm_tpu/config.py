@@ -61,6 +61,14 @@ class ModelConfig:
     # compute dtype for conv/dense activations ("float32" | "bfloat16"); params stay f32.
     # bfloat16 feeds the v5e MXU natively (f32 convs lower to multi-pass bf16).
     compute_dtype: str = "float32"
+    # Run the two identical-topology 1D AEs (time-major aeT + freq-major aeF) as one
+    # grouped-convolution stack: exact same math (parity-tested), half the 1D op
+    # count, double the channel width per op.  Param tree / checkpoints / importer
+    # are unchanged — the fusion reads the aeT/aeF subtrees at apply time.
+    # DEFAULT OFF — measured negative result on TPU v5e (2026-08-17): the fused
+    # flagship step timed 22.5 ms/ADMM-iter vs 14.4 unfused (XLA lowers
+    # feature_group_count=2 convs worse than two separate thin convs here).
+    fuse_1d: bool = False
     # legacy pipeline (reference Demo.ipynb): second 2D AE on the FFT of the residual
     # instead of the two 1D AEs.
     fourier_variant: bool = False

@@ -24,6 +24,7 @@ from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 # channel ladder of the 6 conv stages (reference: src/lofar_models.py:31-41)
 CHANNEL_LADDER = (8, 12, 24, 48, 96, 192)
@@ -102,6 +103,87 @@ class AutoEncoder2D(nn.Module):
         mu = nn.elu(self.fc2in(mu))
         muprime = nn.elu(self.fc2out(mu))
         return self.decode(muprime, uvf), mu
+
+
+def _cast(a, dtype):
+    return a.astype(dtype) if dtype is not None and a.dtype != dtype else a
+
+
+def _dense(p, x, dtype):
+    return _cast(x, dtype) @ _cast(p["kernel"], dtype) + _cast(p["bias"], dtype)
+
+
+def _grouped_conv1d(h, pT, pF, dtype, *, stride=None, lhs_dilation=None, pad):
+    """One layer of TWO parallel 1D convs as a single grouped conv.
+
+    ``h`` is [N, L, 2C] with channel blocks [T | F]; kernels/biases concatenate along
+    the output-feature axis, ``feature_group_count=2`` routes block T through kT and
+    block F through kF — bit-for-bit the same math as two separate convs, but the op
+    count halves and the channel (lane) dimension doubles, which matters on the
+    128-lane TPU MXU/VPU with this model's thin channel ladder."""
+    k = jnp.concatenate([_cast(pT["kernel"], dtype), _cast(pF["kernel"], dtype)],
+                        axis=-1)
+    b = jnp.concatenate([_cast(pT["bias"], dtype), _cast(pF["bias"], dtype)])
+    y = lax.conv_general_dilated(
+        _cast(h, dtype), k,
+        window_strides=(stride,) if stride else (1,),
+        padding=(pad,),
+        lhs_dilation=(lhs_dilation,) if lhs_dilation else None,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=2,
+    )
+    return y + b
+
+
+def fused_dual_ae1d(paramsT, paramsF, sT, sF, uvf, *, rica: bool, dtype=jnp.float32):
+    """Run two identical-topology ``AutoEncoder1D`` instances (time-major and
+    freq-major; reference: src/lofar_models.py:103-184 used twice at
+    src/kharmonic_lofar.py:61-65) as ONE grouped-conv stack.
+
+    ``paramsT``/``paramsF`` are each AE's flax param subtree (``conv0..5``,
+    ``tconv0..5``, ``fcuv1/fc1/fc3/fcuv3`` [, ``fc2in/fc2out``]); ``sT``/``sF`` the
+    [N, L, C] vectorized inputs; ``uvf`` the shared uv-harmonic embedding.  Exactly
+    equivalent to ``aeT(sT), aeF(sF)`` (parity-tested); returns
+    ``((yT, muT), (yF, muF))``."""
+    n = sT.shape[0]
+    nconv = len(CHANNEL_LADDER)
+    h = jnp.concatenate([_cast(sT, dtype), _cast(sF, dtype)], axis=-1)
+    for i in range(nconv):
+        h = nn.elu(_grouped_conv1d(h, paramsT[f"conv{i}"], paramsF[f"conv{i}"],
+                                   dtype, stride=4, pad=(1, 1)))
+    top = CHANNEL_LADDER[-1]
+    flatT = h[..., :top].reshape(n, -1)          # [N, 768], position-major like flax
+    flatF = h[..., top:].reshape(n, -1)
+
+    def encode_head(p, flat):
+        u = nn.elu(_dense(p["fcuv1"], uvf, dtype))
+        return nn.elu(_dense(p["fc1"], jnp.concatenate([flat, u], axis=-1), dtype))
+
+    muT = encode_head(paramsT, flatT)
+    muF = encode_head(paramsF, flatF)
+
+    def sparse_and_z(p, mu):
+        if not rica:
+            return mu, mu
+        sparse = nn.elu(_dense(p["fc2in"], mu, dtype))
+        return sparse, nn.elu(_dense(p["fc2out"], sparse, dtype))
+
+    muT, zT = sparse_and_z(paramsT, muT)
+    muF, zF = sparse_and_z(paramsF, muF)
+
+    def decode_head(p, z):
+        u = nn.elu(_dense(p["fcuv3"], uvf, dtype))
+        x = _dense(p["fc3"], jnp.concatenate([z, u], axis=-1), dtype)
+        return x.reshape(n, BOTTLENECK // top, top)          # [N, 4, 192]
+
+    h = jnp.concatenate([decode_head(paramsT, zT), decode_head(paramsF, zF)], axis=-1)
+    for i in range(nconv - 1):
+        h = nn.elu(_grouped_conv1d(h, paramsT[f"tconv{i}"], paramsF[f"tconv{i}"],
+                                   dtype, lhs_dilation=4, pad=(3, 3)))
+    h = _grouped_conv1d(h, paramsT[f"tconv{nconv - 1}"], paramsF[f"tconv{nconv - 1}"],
+                        dtype, lhs_dilation=4, pad=(3, 3))   # linear output stage
+    C = sT.shape[-1]
+    return (h[..., :C], muT), (h[..., C:], muF)
 
 
 class AutoEncoder1D(nn.Module):

@@ -164,13 +164,31 @@ class CascadedAE(nn.Module):
 
         # time-major vectorization: NHWC -> [N, H*W, C]
         iy1 = x11.reshape(n, h * w, ch)
-        yyT, muT = self.aeT(iy1, uv)
-        yyT, muT = f32(yyT), f32(muT)
-        x2 = yyT.reshape(n, h, w, ch)
-
         # freq-major vectorization: transpose spatial dims first
         iy2 = jnp.swapaxes(x11, 1, 2).reshape(n, w * h, ch)
-        yyF, muF = self.aeF(iy2, uv)
+
+        if self.cfg.fuse_1d and not self.is_initializing():
+            # both 1D AEs as ONE grouped-conv stack (exact math; see
+            # autoencoders.fused_dual_ae1d).  Init still runs the plain calls below
+            # so the param tree is identical with or without fusion.
+            from lshm_tpu.models.autoencoders import (
+                fused_dual_ae1d,
+                uv_harmonic_features,
+            )
+
+            dtype = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+                     else self.dtype)
+            uvf = uv_harmonic_features(uv, self.cfg.harmonic_scales)
+            (yyT, muT), (yyF, muF) = fused_dual_ae1d(
+                self.aeT.variables["params"], self.aeF.variables["params"],
+                iy1, iy2, uvf, rica=self.cfg.rica, dtype=dtype,
+            )
+        else:
+            yyT, muT = self.aeT(iy1, uv)
+            yyF, muF = self.aeF(iy2, uv)
+
+        yyT, muT = f32(yyT), f32(muT)
+        x2 = yyT.reshape(n, h, w, ch)
         yyF, muF = f32(yyF), f32(muF)
         x3 = jnp.swapaxes(yyF.reshape(n, w, h, ch), 1, 2)
 

