@@ -165,13 +165,14 @@ def measure_ours(compute_dtype: str | None = None) -> dict:
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
     dtype = compute_dtype or os.environ.get("LSHM_BENCH_DTYPE", "float32")
+    donate = bool(int(os.environ.get("LSHM_BENCH_DONATE", "0")))
     cfg, model, x, uv, key = _flagship_setup(BATCH_PATCHES, NBASELINES,
                                              compute_dtype=dtype)
     state, tx = init_train_state(model, cfg, key, x, uv)
     step_fn = make_train_step(model, tx, cfg, num_groups=NBASELINES, donate=False,
                               jit=False)
     w = LossWeights()
-    jitted = jax.jit(step_fn)
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     t0 = time.perf_counter()
     compiled = jitted.lower(state, x, uv, w).compile()
     compile_sec = time.perf_counter() - t0
@@ -187,6 +188,7 @@ def measure_ours(compute_dtype: str | None = None) -> dict:
         "batch_patches": BATCH_PATCHES,
         "nadmm": NADMM,
         "compute_dtype": dtype,
+        "donate": donate,
         "compile_sec": compile_sec,
         "flops_per_step_call": flops,
         "backend": jax.default_backend(),
@@ -254,6 +256,18 @@ def measure_ours_lbfgs() -> dict:
     }
 
 
+def measure_ours_bf16() -> dict:
+    """Secondary: the same flagship step under bfloat16 compute (f32 params/losses) —
+    the accuracy-gated mixed-precision mode (tests/test_bf16.py). Reported alongside
+    the parity-tested f32 headline so the dtype headroom is on the record."""
+    d = measure_ours("bfloat16")
+    return {
+        "bf16_patches_per_sec": d["patches_per_sec"],
+        "bf16_sec_per_admm_iter": d["sec_per_admm_iter"],
+        "bf16_mfu": d.get("mfu"),
+    }
+
+
 def _emit(headline_pps: float, detail: dict) -> str:
     vs = None
     vs_1core = None
@@ -314,6 +328,8 @@ def main():
     secondaries = [("eval", measure_ours_eval)]
     if not os.environ.get("LSHM_BENCH_SKIP_LBFGS"):
         secondaries.append(("lbfgs", measure_ours_lbfgs))
+    if not os.environ.get("LSHM_BENCH_SKIP_BF16"):
+        secondaries.append(("bf16", measure_ours_bf16))
     compile_cost = detail.get("compile_sec", 120.0)
     for name, fn in secondaries:
         elapsed = time.perf_counter() - t_start
@@ -331,7 +347,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["headline", "eval", "lbfgs"], default=None)
+    ap.add_argument("--only", choices=["headline", "eval", "lbfgs", "bf16"], default=None)
     ap.add_argument("--dtype", default=None, help="compute dtype for --only headline")
     args = ap.parse_args()
     if args.only == "headline":
@@ -340,5 +356,7 @@ if __name__ == "__main__":
         print(json.dumps(measure_ours_eval()), flush=True)
     elif args.only == "lbfgs":
         print(json.dumps(measure_ours_lbfgs()), flush=True)
+    elif args.only == "bf16":
+        print(json.dumps(measure_ours_bf16()), flush=True)
     else:
         main()
