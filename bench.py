@@ -118,20 +118,8 @@ def _cost_flops(compiled) -> float | None:
         return None
 
 
-def _measure_two_point(step, state, x, uv, w, nadmm: int) -> dict:
-    """Two-point timing of a chained (state, x, uv, w) -> (state, metrics) step.
-
-    Returns per-ADMM-iter marginal time (RTT-free), plus raw end-to-end numbers."""
-    def run(n):
-        nonlocal state
-        t0 = time.perf_counter()
-        m = None
-        for _ in range(n):
-            state, m = step(state, x, uv, w)
-        loss = _fetch_scalar(m)           # blocks until all n steps really executed
-        return time.perf_counter() - t0, loss
-
-    # fetch round trip on an already-resident tiny array (pure RTT, no compute)
+def _measure_rtt() -> float:
+    """Fetch round trip on an already-resident tiny array (pure RTT, no compute)."""
     ready = jnp.zeros(())
     float(jax.device_get(ready))
     rtts = []
@@ -139,25 +127,70 @@ def _measure_two_point(step, state, x, uv, w, nadmm: int) -> dict:
         t0 = time.perf_counter()
         float(jax.device_get(ready))
         rtts.append(time.perf_counter() - t0)
-    rtt = min(rtts)
+    return min(rtts)
 
-    pairs = []
-    loss = None
-    for _ in range(REPS):
-        dt1, _ = run(N1)
-        dt2, loss = run(N2)
-        pairs.append((dt1, dt2))
-    marginal = min((d2 - d1) / (N2 - N1) for d1, d2 in pairs)   # sec per step-call
-    raw_best = min(d2 for _, d2 in pairs) / N2
-    return {
+
+def _two_point_marginal(run, n1: int, n2: int, reps: int, min_window: float):
+    """Generic two-point fit with noise guards.
+
+    ``run(n)`` = wall seconds for n chained calls ending in one completion-forcing
+    fetch.  The marginal (dt2-dt1)/(n2-n1) cancels the constant RTT — but on a noisy
+    relay a single inflated dt1 can make it negative, so n2 is widened (x4, capped)
+    until the measurement window dt2-dt1 clears ``min_window`` and the marginal is
+    positive; if it never does, fall back to the median, then to the raw per-call
+    upper bound (strictly positive), flagged ``noise_fallback``.
+
+    Returns (marginal_sec, pairs, n2_used, noise_fallback)."""
+    n2_cap = max(16 * n2, n2)
+    while True:
+        pairs = [(run(n1), run(n2)) for _ in range(reps)]
+        margs = sorted((d2 - d1) / (n2 - n1) for d1, d2 in pairs)
+        marginal = margs[0]
+        window = min(d2 - d1 for d1, d2 in pairs)
+        if (marginal > 0 and window >= min_window) or n2 >= n2_cap:
+            break
+        n2 = min(n2 * 4, n2_cap)
+    fallback = False
+    if marginal <= 0:
+        raw = min(d2 for _, d2 in pairs) / n2
+        med = margs[len(margs) // 2]
+        marginal = med if med > 0 else raw
+        fallback = True
+    return marginal, pairs, n2, fallback
+
+
+def _measure_two_point(step, state, x, uv, w, nadmm: int):
+    """Two-point timing of a chained (state, x, uv, w) -> (state, metrics) step.
+
+    Returns (detail dict with per-ADMM-iter marginal time (RTT-free) plus raw
+    end-to-end numbers, final chained state)."""
+    last_loss = [None]
+
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, x, uv, w)
+        last_loss[0] = _fetch_scalar(m)   # blocks until all n steps really executed
+        return time.perf_counter() - t0
+
+    rtt = _measure_rtt()
+    marginal, pairs, n2, fallback = _two_point_marginal(
+        run, N1, N2, REPS, min_window=max(5 * rtt, 0.02)
+    )
+    raw_best = min(d2 for _, d2 in pairs) / n2
+    detail = {
         "sec_per_admm_iter": marginal / nadmm,
         "sec_per_step_call": marginal,
         "sec_per_step_call_raw": raw_best,        # includes amortized RTT+dispatch
         "fetch_rtt_sec": rtt,
-        "two_point": {"n1": N1, "n2": N2, "pairs_sec": pairs},
-        "final_loss": loss,
+        "two_point": {"n1": N1, "n2": n2, "pairs_sec": pairs,
+                      "noise_fallback": fallback},
+        "final_loss": last_loss[0],
         "timing_method": "two-point host-scalar-fetch (RTT-cancelled)",
     }
+    return detail, state
 
 
 def measure_ours(compute_dtype: str | None = None) -> dict:
@@ -181,7 +214,7 @@ def measure_ours(compute_dtype: str | None = None) -> dict:
     state, m = compiled(state, x, uv, w)          # warmup execution
     _fetch_scalar(m)
 
-    r = _measure_two_point(compiled, state, x, uv, w, NADMM)
+    r, _ = _measure_two_point(compiled, state, x, uv, w, NADMM)
     dt = r["sec_per_admm_iter"]
     out = {
         "patches_per_sec": BATCH_PATCHES / dt,
@@ -230,11 +263,15 @@ def measure_ours_eval() -> dict:
         float(jax.device_get(d[0, 0]))
         return time.perf_counter() - t0
 
-    k1, k2 = 2, 8
-    pairs = [(run(k1), run(k2)) for _ in range(2)]
-    marginal = min((d2 - d1) / (k2 - k1) for d1, d2 in pairs)
-    return {"eval_patches_per_sec": n / marginal, "eval_sec_per_batch": marginal,
-            "eval_batch": n}
+    rtt = _measure_rtt()
+    marginal, _, _, fallback = _two_point_marginal(
+        run, 2, 8, 2, min_window=max(5 * rtt, 0.02)
+    )
+    out = {"eval_patches_per_sec": n / marginal, "eval_sec_per_batch": marginal,
+           "eval_batch": n}
+    if fallback:
+        out["eval_noise_fallback"] = True
+    return out
 
 
 def measure_ours_lbfgs() -> dict:
@@ -248,7 +285,9 @@ def measure_ours_lbfgs() -> dict:
     w = LossWeights()
     state, m = step(state, x, uv, w)
     _fetch_scalar(m)
-    r = _measure_two_point(step, state, x, uv, w, NADMM)
+    r, state = _measure_two_point(step, state, x, uv, w, NADMM)
+    # func_evals from the state AFTER the timed chain, so the diagnostic reflects
+    # the measured work (cumulative closure evaluations across all timed steps)
     return {
         "lbfgs_patches_per_sec": BATCH_PATCHES / r["sec_per_admm_iter"],
         "lbfgs_sec_per_admm_iter": r["sec_per_admm_iter"],
@@ -300,6 +339,23 @@ def _emit(headline_pps: float, detail: dict) -> str:
     return line
 
 
+def _mfu_refusal(detail: dict) -> str | None:
+    """Error JSON line if the measurement implies impossible MFU, else None.
+
+    A computed MFU > 1.0 (or <= 0) exceeds/violates the chip's physical ceiling and
+    is by definition a measurement bug (dispatch-ack timing; VERDICT.md round 2)."""
+    mfu = detail.get("mfu")
+    if mfu is not None and (mfu > 1.0 or mfu <= 0.0):
+        return json.dumps({
+            "metric": "ae_khm_train_patches_per_sec_per_chip",
+            "value": None, "unit": "patches/s", "vs_baseline": None,
+            "error": f"REFUSED: implied MFU {mfu:.3g} outside (0, 1] — measurement "
+                     f"bug (dispatch-ack timing?); see VERDICT.md round 2",
+            "detail": detail,
+        })
+    return None
+
+
 def main():
     t_start = time.perf_counter()
     budget = _budget()
@@ -310,15 +366,9 @@ def main():
                           "value": None, "unit": "patches/s", "vs_baseline": None,
                           "error": repr(e)[:400]}), flush=True)
         raise
-    mfu = detail.get("mfu")
-    if mfu is not None and mfu > 1.0:
-        print(json.dumps({
-            "metric": "ae_khm_train_patches_per_sec_per_chip",
-            "value": None, "unit": "patches/s", "vs_baseline": None,
-            "error": f"REFUSED: implied MFU {mfu:.2f} > 1.0 — measurement bug "
-                     f"(dispatch-ack timing?); see VERDICT.md round 2",
-            "detail": detail,
-        }), flush=True)
+    refusal = _mfu_refusal(detail)
+    if refusal is not None:
+        print(refusal, flush=True)
         sys.exit(1)
     headline_pps = detail["patches_per_sec"]
     _emit(headline_pps, detail)          # headline lands immediately (flushed)

@@ -51,7 +51,7 @@ def measure(batch: int, remat: bool = False, dtype: str = "float32") -> dict:
     flops = bench._cost_flops(compiled)
     state, m = compiled(state, x, uv, w)
     bench._fetch_scalar(m)
-    r = bench._measure_two_point(compiled, state, x, uv, w, NADMM)
+    r, _ = bench._measure_two_point(compiled, state, x, uv, w, NADMM)
     row = {
         "batch_patches": batch,
         "remat": remat,
@@ -79,10 +79,13 @@ def main():
     args = ap.parse_args()
     def _remat(b):
         return {"auto": b >= 768, "on": True, "off": False}[args.remat]
-    configs = (
-        [(int(b), _remat(int(b))) for b in args.batches.split(",")]
-        if args.batches else list(CONFIGS)
-    )
+    if args.batches:
+        configs = [(int(b), _remat(int(b))) for b in args.batches.split(",")]
+    elif args.remat != "auto":
+        # --remat must also apply to the default sweep, not silently no-op
+        configs = [(b, _remat(b)) for b, _ in CONFIGS]
+    else:
+        configs = list(CONFIGS)   # default sweep: remat-free (fits without it)
 
     rows = []
 

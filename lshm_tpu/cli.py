@@ -151,7 +151,6 @@ def cmd_graph(args):
         build_station_graph_data,
         station_graph_maps,
         train_line_graph,
-        train_station_graph,
     )
     from lshm_tpu.train.trainer import Trainer
 
@@ -165,6 +164,11 @@ def cmd_graph(args):
     if not files:
         sys.exit(f"no valid H5 data under {cfg.data.data_dir!r}")
     idx = args.sap_index % len(files)
+
+    # a station "epoch" is a full graph rebuild (SAP read + forward sweep), far more
+    # costly than a line-graph Adam epoch — so the defaults differ per kind
+    if args.epochs is None:
+        args.epochs = 200 if args.kind == "line" else 5
 
     if args.kind == "line":
         data = build_line_graph_data(
@@ -316,9 +320,10 @@ def main(argv=None):
     p.add_argument("--ckpt", required=True)
     p.add_argument("--preset", default="full_khm")
     p.add_argument("--sap-index", type=int, default=0)
-    p.add_argument("--epochs", type=int, default=200,
-                   help="line: Adam epochs on the one graph; station: number of "
-                        "randomly rebuilt graphs (reference train_graph_stat.py)")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="line: Adam epochs on the one graph (default 200); station: "
+                        "number of randomly rebuilt graphs, each a full-SAP read + "
+                        "forward sweep (default 5; reference train_graph_stat.py)")
     p.add_argument("--steps-per-graph", type=int, default=20,
                    help="station: Adam steps per rebuilt graph")
     p.add_argument("--hidden", type=int, default=4)

@@ -40,12 +40,13 @@ def admm_loop(body, carry, nadmm: int, unroll: bool, xs=None):
     while-loop lowering pessimizes the body's layouts/fusion (decompose.py,
     2026-08-17: 12.3 vs 79 ms/iter at batch 420).  Returns (carry, stacked metrics)
     exactly like ``lax.scan``."""
-    if unroll:
+    if unroll and nadmm > 0:
         ms = []
         for i in range(nadmm):
             carry, m = body(carry, None if xs is None else xs[i])
             ms.append(m)
         return carry, jax.tree.map(lambda *v: jnp.stack(v), *ms)
+    # nadmm == 0 falls through: scan(length=0) returns empty stacked metrics
     return jax.lax.scan(body, carry, xs, length=nadmm)
 
 

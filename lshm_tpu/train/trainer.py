@@ -117,11 +117,7 @@ class Trainer:
                 )
                 self._params = self._state.params
             self._opt_kind = (kind, group)
-            if self.mesh is not None:
-                from lshm_tpu.train.parallel import replicate_state
-
-                self._state = replicate_state(self.mesh, self._state)
-                self._params = self._state.params
+            self._replicate_if_mesh()
             return
 
         if (kind, group) != self._opt_kind:
@@ -145,12 +141,15 @@ class Trainer:
                     opt_state=lbfgs_init(self._params, self.cfg.optim.lbfgs),
                     step=step_count,
                 )
-            if self.mesh is not None:
-                from lshm_tpu.train.parallel import replicate_state
-
-                self._state = replicate_state(self.mesh, self._state)
-                self._params = self._state.params
+            self._replicate_if_mesh()
             self._opt_kind = (kind, group)
+
+    def _replicate_if_mesh(self):
+        if self.mesh is not None:
+            from lshm_tpu.train.parallel import replicate_state
+
+            self._state = replicate_state(self.mesh, self._state)
+            self._params = self._state.params
 
     def _get_step(self, kind: str, group: str, num_groups: int) -> Callable:
         key = (kind, group, num_groups)
@@ -201,6 +200,8 @@ class Trainer:
         nproc = jax.process_count()
         start_epoch = getattr(self, "_resume_epoch", 0)
         start_iter = getattr(self, "_resume_iter", 0)
+        self._resume_epoch = 0   # consume: a second run() starts fresh
+        self._resume_iter = 0
         for epoch in range(start_epoch, cfg.train.num_epochs):
             if hasattr(sampler, "reseed"):
                 sampler.reseed(epoch)   # per-epoch stream: resume == uninterrupted run
@@ -255,12 +256,14 @@ class Trainer:
                 else:
                     x, uv = placer(mb.x), placer(mb.uv)
                 self._last_batch_shape = tuple(x.shape)
-                # init from a host-side shape template: flax init depends only on
-                # shapes + rng, so params are identical on every process
-                self._ensure_state(
-                    kind, group,
-                    jnp.zeros((1, *x.shape[1:]), x.dtype), jnp.zeros((1, 2), x.dtype),
-                )
+                if self._params is None or (kind, group) != self._opt_kind:
+                    # init from a host-side shape template: flax init depends only
+                    # on shapes + rng, so params are identical on every process
+                    self._ensure_state(
+                        kind, group,
+                        jnp.zeros((1, *x.shape[1:]), x.dtype),
+                        jnp.zeros((1, 2), x.dtype),
+                    )
                 step = self._get_step(kind, group, mb.num_baselines * nproc)
                 if pending is not None and cfg.train.skip_nonfinite:
                     _settle(pending)
@@ -360,10 +363,7 @@ class Trainer:
             self._ensure_state(kind, group, x, uv)          # template structure
             restored, _ = restore_checkpoint(ckpt_dir, {"full_state": self._state}, step)
             self._state = restored["full_state"]
-            if self.mesh is not None:
-                from lshm_tpu.train.parallel import replicate_state
-
-                self._state = replicate_state(self.mesh, self._state)
+            self._replicate_if_mesh()
             self._sync_params()
         else:
             if self._params is None:
@@ -377,8 +377,9 @@ class Trainer:
             self._state = None
         if extras and extras.get("epoch") is not None:
             self._resume_epoch = int(extras["epoch"])
-        if extras and extras.get("iter"):
-            self._resume_iter = int(extras["iter"])
+            # always overwrite (a later load of an epoch-boundary checkpoint must
+            # clear any stale mid-epoch position from a previous load)
+            self._resume_iter = int(extras.get("iter") or 0)
 
 
 def train_from_config(cfg: Config) -> Trainer:

@@ -40,12 +40,49 @@ def test_chained_timer_perturbation_negligible():
 
 
 def test_bench_mfu_refusal_logic():
-    """bench.main must exit nonzero rather than print an impossible number."""
+    """bench.main must refuse (error JSON) rather than print an impossible number —
+    exercises the actual refusal function used by main()."""
+    import json
+
     import bench
 
-    detail = {"patches_per_sec": 1e9, "mfu": 40.0, "sec_per_step_call": 1e-6}
-    # replicate the refusal branch predicate
-    assert detail["mfu"] > 1.0
+    refusal = bench._mfu_refusal({"patches_per_sec": 1e9, "mfu": 40.0})
+    assert refusal is not None
+    parsed = json.loads(refusal)
+    assert parsed["value"] is None and "REFUSED" in parsed["error"]
+    assert bench._mfu_refusal({"mfu": -0.5}) is not None      # negative = also a bug
+    assert bench._mfu_refusal({"mfu": 0.02}) is None          # sane MFU passes
+    assert bench._mfu_refusal({}) is None                     # no cost analysis: pass
+
+
+def test_two_point_marginal_noise_guard():
+    """_two_point_marginal never returns a non-positive marginal, even when fed a
+    pathological run() whose dt1 > dt2 (the negative-marginal failure mode)."""
+    import bench
+
+    seq = iter([10.0, 0.5] * 40)   # dt1 inflated, dt2 small -> raw marginal < 0
+
+    def run(n):
+        return next(seq)
+
+    marginal, _, _, fallback = bench._two_point_marginal(
+        run, 2, 10, 2, min_window=0.02
+    )
+    assert marginal > 0
+    assert fallback
+
+
+def test_two_point_marginal_clean_path():
+    """With a well-behaved linear run(), the marginal recovers the per-call cost and
+    no fallback is flagged."""
+    import bench
+
+    per_call = 0.01
+    marginal, _, n2, fallback = bench._two_point_marginal(
+        lambda n: 0.05 + per_call * n, 2, 10, 2, min_window=0.02
+    )
+    assert abs(marginal - per_call) < 1e-9
+    assert not fallback and n2 == 10
 
 
 def test_two_point_on_cpu_scales_with_work():

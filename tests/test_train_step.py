@@ -329,3 +329,17 @@ def test_admm_unroll_matches_scan(setup):
         # steps the divergence reaches ~1e-5 on isolated params (a logic bug
         # would be orders of magnitude larger)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_admm_loop_zero_iters():
+    """nadmm=0 must not crash in the unrolled path: it falls through to
+    lax.scan(length=0), returning the carry unchanged and empty stacked metrics."""
+    from lshm_tpu.train.step import admm_loop
+
+    def body(c, _):
+        return c + 1, {"loss": c * 1.0}
+
+    for unroll in (True, False):
+        carry, metrics = admm_loop(body, jnp.zeros(()), 0, unroll)
+        assert float(carry) == 0.0
+        assert metrics["loss"].shape == (0,)

@@ -288,6 +288,34 @@ def test_mid_epoch_exact_resume(synth_h5, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_resume_iter_not_stale_across_loads(synth_h5, tmp_path):
+    """A later load of an epoch-boundary checkpoint clears any mid-epoch position left
+    by an earlier load, and run() consumes the resume position (a second run starts
+    fresh) — regression for the stale _resume_iter bug."""
+    import dataclasses
+
+    ckpt = str(tmp_path / "ck")
+    base = tiny_cfg()
+    cfg = base.replace(train=dataclasses.replace(
+        base.train, num_epochs=1, iters_per_epoch=4, admm_iters=1,
+        checkpoint_dir=ckpt, save_every_iters=2,
+    ))
+    t = Trainer(cfg, MetricLogger(echo=False))
+    t.run(make_sampler(synth_h5, cfg))
+
+    t2 = Trainer(cfg, MetricLogger(echo=False))
+    t2.load(ckpt, step=2)                   # mid-epoch checkpoint
+    assert t2._resume_iter == 2
+    t2.load(ckpt, step=4)                   # epoch-boundary checkpoint (iter=0)
+    assert t2._resume_iter == 0, "stale mid-epoch iter must be cleared"
+
+    t2.load(ckpt, step=2)
+    t2.run(make_sampler(synth_h5, cfg.replace(train=dataclasses.replace(
+        cfg.train, checkpoint_dir="", save_every_iters=0))))
+    assert t2._resume_epoch == 0 and t2._resume_iter == 0, \
+        "run() must consume the resume position"
+
+
 def test_sampler_skip_matches_sampling(synth_h5):
     """skip(n) advances the rng stream exactly as n sample() calls would."""
     from lshm_tpu.config import DataConfig
