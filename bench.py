@@ -10,6 +10,12 @@ closure fwd+bwd of all loss terms + optimizer update + dual-update forward
 (reference: src/kharmonic_lofar.py:131-202) — so ``vs_baseline`` is the per-chip
 speedup over the reference measured by benchmarks/measure_reference.py.
 
+The headline runs the accuracy-gated mixed-precision mode
+(``compute_dtype="bfloat16_full"``: bf16 activations/residuals/duals, f32
+params/optimizer/loss accumulation — tests/test_bf16.py; final flagship losses match
+f32 to 4 decimals after 10 ADMM iters).  A pure-f32 control is measured as a
+secondary; override the headline dtype with LSHM_BENCH_DTYPE=float32.
+
 Timing discipline (round-3 rebuild; see VERDICT.md round 2):
   * ``jax.block_until_ready`` acks after *dispatch*, not execution, on the axon TPU
     relay — every prior number timed with it was a dispatch rate (1000x off).  Every
@@ -197,7 +203,7 @@ def measure_ours(compute_dtype: str | None = None) -> dict:
     """Headline measurement: the flagship ADMM step, honest execution time."""
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
-    dtype = compute_dtype or os.environ.get("LSHM_BENCH_DTYPE", "float32")
+    dtype = compute_dtype or os.environ.get("LSHM_BENCH_DTYPE", "bfloat16_full")
     donate = bool(int(os.environ.get("LSHM_BENCH_DONATE", "0")))
     cfg, model, x, uv, key = _flagship_setup(BATCH_PATCHES, NBASELINES,
                                              compute_dtype=dtype)
@@ -295,15 +301,17 @@ def measure_ours_lbfgs() -> dict:
     }
 
 
-def measure_ours_bf16() -> dict:
-    """Secondary: the same flagship step under bfloat16 compute (f32 params/losses) —
-    the accuracy-gated mixed-precision mode (tests/test_bf16.py). Reported alongside
-    the parity-tested f32 headline so the dtype headroom is on the record."""
-    d = measure_ours("bfloat16")
+def measure_ours_f32() -> dict:
+    """Secondary: the same flagship step in pure float32 — the bit-conservative
+    control for the mixed-precision headline (the headline's bfloat16_full mode is
+    accuracy-gated by tests/test_bf16.py: f32 params/optimizer/loss accumulation,
+    bf16 activations/residuals/duals; measured final losses agree with f32 to 4
+    decimals after 10 ADMM iters at flagship scale)."""
+    d = measure_ours("float32")
     return {
-        "bf16_patches_per_sec": d["patches_per_sec"],
-        "bf16_sec_per_admm_iter": d["sec_per_admm_iter"],
-        "bf16_mfu": d.get("mfu"),
+        "f32_patches_per_sec": d["patches_per_sec"],
+        "f32_sec_per_admm_iter": d["sec_per_admm_iter"],
+        "f32_mfu": d.get("mfu"),
     }
 
 
@@ -378,13 +386,14 @@ def main():
     secondaries = [("eval", measure_ours_eval)]
     if not os.environ.get("LSHM_BENCH_SKIP_LBFGS"):
         secondaries.append(("lbfgs", measure_ours_lbfgs))
-    if not os.environ.get("LSHM_BENCH_SKIP_BF16"):
-        secondaries.append(("bf16", measure_ours_bf16))
+    if not os.environ.get("LSHM_BENCH_SKIP_F32"):
+        secondaries.append(("f32", measure_ours_f32))
     compile_cost = detail.get("compile_sec", 120.0)
     for name, fn in secondaries:
         elapsed = time.perf_counter() - t_start
         if elapsed + compile_cost * 1.3 + 30 > budget:
             detail[f"{name}_skipped"] = "wall budget"
+            _emit(headline_pps, detail)   # surface the skip even when it is last
             continue
         try:
             detail.update(fn())
@@ -397,7 +406,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["headline", "eval", "lbfgs", "bf16"], default=None)
+    ap.add_argument("--only", choices=["headline", "eval", "lbfgs", "f32"], default=None)
     ap.add_argument("--dtype", default=None, help="compute dtype for --only headline")
     args = ap.parse_args()
     if args.only == "headline":
@@ -406,7 +415,7 @@ if __name__ == "__main__":
         print(json.dumps(measure_ours_eval()), flush=True)
     elif args.only == "lbfgs":
         print(json.dumps(measure_ours_lbfgs()), flush=True)
-    elif args.only == "bf16":
-        print(json.dumps(measure_ours_bf16()), flush=True)
+    elif args.only == "f32":
+        print(json.dumps(measure_ours_f32()), flush=True)
     else:
         main()

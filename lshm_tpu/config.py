@@ -58,8 +58,14 @@ class ModelConfig:
     # comparison was invalidated with the rest of the dispatch-rate timings
     # (VERDICT round 2); both backends remain parity-tested.
     khm_backend: str = "xla"
-    # compute dtype for conv/dense activations ("float32" | "bfloat16"); params stay f32.
-    # bfloat16 feeds the v5e MXU natively (f32 convs lower to multi-pass bf16).
+    # compute dtype for conv/dense activations
+    # ("float32" | "bfloat16" | "bfloat16_full"); params stay f32 in all modes.
+    # bfloat16 feeds the v5e MXU natively (f32 convs lower to multi-pass bf16) but
+    # keeps the full-resolution residual/loss path in f32.  bfloat16_full also casts
+    # the input batch (and therefore the AE outputs, residuals and ADMM duals) to
+    # bf16 — the flagship step is HBM-bandwidth-bound on those ~110 MB arrays, so
+    # halving their width is the single biggest throughput lever; every loss still
+    # accumulates in f32 (lshm_tpu/losses.py::_f32).
     compute_dtype: str = "float32"
     # Run the two identical-topology 1D AEs (time-major aeT + freq-major aeF) as one
     # grouped-convolution stack: exact same math (parity-tested), half the 1D op

@@ -12,13 +12,25 @@ All losses reproduce the reference normalizations exactly (golden-value tested).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-9  # reference: src/lofar_models.py:195
 
 
+def _f32(a: jnp.ndarray) -> jnp.ndarray:
+    """Upcast to float32 for loss arithmetic.
+
+    Under the full-bf16 data path (ModelConfig.compute_dtype="bfloat16_full") the
+    model outputs and duals are stored bf16 — the HBM reads stay half-width, and the
+    convert fuses into the consuming reduction, so every loss accumulates exactly in
+    f32 at bf16 bandwidth.  A no-op on the default f32 path."""
+    return a.astype(jnp.float32) if a.dtype != jnp.float32 else a
+
+
 def pairwise_sq_dists(X: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     """||x_i - m_k||^2 for X [N, D], M [K, D] -> [N, K] via one matmul (MXU-friendly)."""
+    X, M = _f32(X), _f32(M)
     xx = jnp.sum(X * X, axis=-1, keepdims=True)            # [N, 1]
     mm = jnp.sum(M * M, axis=-1)[None, :]                  # [1, K]
     xm = X @ M.T                                           # [N, K]  (the MXU op)
@@ -64,6 +76,7 @@ def cluster_similarity_loss(M: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
     (reference: src/lofar_models.py:214-229).
     """
     K, D = M.shape
+    M = _f32(M)
     G = M @ M.T                                            # [K, K]
     n = jnp.sqrt(jnp.diagonal(G))
     C = G / (n[:, None] * n[None, :] + eps)
@@ -83,6 +96,7 @@ def augmentation_loss(Z: jnp.ndarray, num_groups: int, eps: float = 1e-6) -> jnp
     """
     N, D = Z.shape
     P = N // num_groups
+    Z = _f32(Z)
     nrm = jnp.linalg.norm(Z, axis=-1, keepdims=True)
     Zn = Z / (nrm + eps)
     G = Zn.reshape(num_groups, P, D)
@@ -104,14 +118,95 @@ def rica_loss(*latents: jnp.ndarray) -> jnp.ndarray:
     (reference: src/kharmonic_lofar.py:167-172)."""
     total = 0.0
     for mu in latents:
-        total = total + jnp.sum(log_cosh(mu)) / mu.size
+        total = total + jnp.sum(log_cosh(_f32(mu))) / mu.size
     return total
 
 
 def mse_sum(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """nn.MSELoss(reduction='sum') equivalent."""
-    d = a - b
+    """nn.MSELoss(reduction='sum') equivalent (f32 accumulation under bf16 inputs)."""
+    d = _f32(a) - _f32(b)
     return jnp.sum(d * d)
+
+
+@jax.custom_vjp
+def recon_admm_losses(x1, x2, x3, x, y1, y2, y3, rho):
+    """Fused reconstruction + ADMM loss block of the cascade objective.
+
+    Computes, in one pass over the full-resolution arrays,
+        loss0 = ||x1+x2+x3 - x||^2 / numel
+        loss1 = (y1 . r1 + rho/2 ||r1||^2) / numel,  r1  = x - x1
+        loss2 = (y2 . r2 + rho/2 ||r2||^2) / numel,  r2  = x11 - x2,  x11 = r1/2
+        loss3 = (y3 . r3 + rho/2 ||r3||^2) / numel,  r3  = x11 - x3
+    (reference: src/kharmonic_lofar.py:154-158), with a closed-form custom VJP.
+
+    Status: DOCUMENTED NEGATIVE RESULT — correct (VJP parity-tested below) but
+    measured ~7% SLOWER than plain autodiff on TPU v5e (26.9k vs 28.8k patches/s
+    at flagship batch 420, 2026-08-17, control re-measured same session), so the
+    objective uses the naive term-by-term form.  Why: XLA's autodiff fuses the
+    cotangent construction directly into the conv-backward bias-grad fusions and
+    emits the cotangents as bf16 (half-width) inline casts, while custom_vjp is a
+    fusion boundary that forces three full f32 [N,128,128,4] cotangent
+    materializations.  Kept as the measured record of the "obvious" optimization.
+
+    The intended traffic argument (why it was tried): each array is ~110 MB and
+    the step is HBM-bandwidth-bound; the closed form reads each array once
+    forward and once backward and writes exactly the three cotangents the AEs
+    need:
+        d_x1 = (2 g0 s - g1 A1 - 1/2 g2 A2 - 1/2 g3 A3) / numel
+        d_x2 = (2 g0 s - g2 A2) / numel
+        d_x3 = (2 g0 s - g3 A3) / numel
+    with s = x1+x2+x3-x and A_k = y_k + rho r_k.  x and the duals get symbolic
+    zero cotangents (the input batch and the Lagrange multipliers are constants
+    of the closure, reference: src/kharmonic_lofar.py:132-182); parity with
+    autodiff is unit-tested.
+
+    ``y_k`` may be flat [numel] (reference representation) or residual-shaped
+    (the TPU layout-preserving representation, see Duals.zeros_like)."""
+    out, _ = _recon_admm_fwd(x1, x2, x3, x, y1, y2, y3, rho)
+    return out
+
+
+def _recon_admm_terms(x1, x2, x3, x, y1, y2, y3, rho):
+    numel = x.size
+    s = x1 + x2 + x3 - x
+    r1 = x - x1
+    x11 = 0.5 * r1
+    r2 = x11 - x2
+    r3 = x11 - x3
+    y1r, y2r, y3r = (y.reshape(x.shape) for y in (y1, y2, y3))
+    loss0 = jnp.sum(s * s) / numel
+    loss1 = (jnp.sum(y1r * r1) + 0.5 * rho * jnp.sum(r1 * r1)) / numel
+    loss2 = (jnp.sum(y2r * r2) + 0.5 * rho * jnp.sum(r2 * r2)) / numel
+    loss3 = (jnp.sum(y3r * r3) + 0.5 * rho * jnp.sum(r3 * r3)) / numel
+    return loss0, loss1, loss2, loss3
+
+
+def _recon_admm_fwd(x1, x2, x3, x, y1, y2, y3, rho):
+    out = _recon_admm_terms(x1, x2, x3, x, y1, y2, y3, rho)
+    return out, (x1, x2, x3, x, y1, y2, y3, rho)
+
+
+def _recon_admm_bwd(res, g):
+    x1, x2, x3, x, y1, y2, y3, rho = res
+    g0, g1, g2, g3 = g
+    numel = x.size
+    s = x1 + x2 + x3 - x
+    r1 = x - x1
+    x11 = 0.5 * r1
+    y1r, y2r, y3r = (y.reshape(x.shape) for y in (y1, y2, y3))
+    a1 = y1r + rho * r1
+    a2 = y2r + rho * (x11 - x2)
+    a3 = y3r + rho * (x11 - x3)
+    common = (2.0 * g0) * s
+    d_x1 = (common - g1 * a1 - (0.5 * g2) * a2 - (0.5 * g3) * a3) / numel
+    d_x2 = (common - g2 * a2) / numel
+    d_x3 = (common - g3 * a3) / numel
+    zero = lambda a: jnp.zeros_like(a)
+    return (d_x1, d_x2, d_x3, zero(x), zero(y1), zero(y2), zero(y3),
+            jnp.zeros_like(jnp.asarray(rho, d_x1.dtype)))
+
+
+recon_admm_losses.defvjp(_recon_admm_fwd, _recon_admm_bwd)
 
 
 def admm_term(y: jnp.ndarray, residual: jnp.ndarray, rho: float) -> jnp.ndarray:
@@ -122,6 +217,8 @@ def admm_term(y: jnp.ndarray, residual: jnp.ndarray, rho: float) -> jnp.ndarray:
     (the TPU-preferred representation: avoids a 110 MB relayout per term — duals
     created by ``Duals.zeros_like`` keep the residual's own NHWC layout)."""
     if y.shape == residual.shape:
+        y, residual = _f32(y), _f32(residual)
         return jnp.sum(y * residual) + 0.5 * rho * jnp.sum(residual * residual)
-    r = residual.reshape(-1)
+    r = _f32(residual).reshape(-1)
+    y = _f32(y)
     return jnp.dot(y, r) + 0.5 * rho * jnp.dot(r, r)

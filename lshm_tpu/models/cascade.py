@@ -98,7 +98,7 @@ class CascadedAE(nn.Module):
 
     def setup(self):
         c = self.cfg
-        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else self.dtype
+        dtype = jnp.bfloat16 if c.compute_dtype.startswith("bfloat16") else self.dtype
         ch = c.num_channels
         self.ae2d = AutoEncoder2D(
             latent_dim=c.latent_dim,
@@ -176,7 +176,7 @@ class CascadedAE(nn.Module):
                 uv_harmonic_features,
             )
 
-            dtype = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+            dtype = (jnp.bfloat16 if self.cfg.compute_dtype.startswith("bfloat16")
                      else self.dtype)
             uvf = uv_harmonic_features(uv, self.cfg.harmonic_scales)
             (yyT, muT), (yyF, muF) = fused_dual_ae1d(

@@ -97,6 +97,9 @@ def make_train_step_shard_map(
     def body(state, x_local, uv_local, w):
         import optax
 
+        from lshm_tpu.train.step import _input_cast
+
+        x_local = _input_cast(cfg)(x_local)
         duals = Duals.zeros_like(x_local, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):

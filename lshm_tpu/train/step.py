@@ -32,6 +32,20 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
+def _input_cast(cfg: Config):
+    """Input-batch cast for the full-bf16 data path.
+
+    Under ``compute_dtype="bfloat16_full"`` the minibatch is cast to bf16 once at
+    step entry; the cascade's ``astype(x.dtype)`` output casts and
+    ``Duals.zeros_like(x)`` then keep the whole full-resolution path (AE outputs,
+    residuals, duals, their cotangents) bf16 — halving the HBM traffic the
+    flagship step is bound by.  Losses still accumulate in f32
+    (lshm_tpu/losses.py::_f32); params and optimizer state stay f32."""
+    if cfg.model.compute_dtype == "bfloat16_full":
+        return lambda a: a.astype(jnp.bfloat16)
+    return lambda a: a
+
+
 def admm_loop(body, carry, nadmm: int, unroll: bool, xs=None):
     """Run the ADMM inner loop ``nadmm`` times: straight-line unrolled (default) or
     as one ``lax.scan``.
@@ -106,6 +120,7 @@ def make_train_step(
     use_rica = cfg.model.rica
     khm_order = cfg.model.khm_order
     khm_backend = cfg.model.khm_backend
+    cast_in = _input_cast(cfg)
 
     def objective(params, x, uv, duals, w):
         return cascade_objective(
@@ -119,6 +134,7 @@ def make_train_step(
     grad_fn = jax.value_and_grad(objective, has_aux=True)
 
     def train_step_unfused(state: TrainState, x, uv, w: LossWeights):
+        x = cast_in(x)
         duals = Duals.zeros_like(x, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):
@@ -154,6 +170,7 @@ def make_train_step(
     )
 
     def train_step_fused(state: TrainState, x, uv, w: LossWeights):
+        x = cast_in(x)
         duals0 = Duals.zeros_like(x, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, t):
@@ -231,6 +248,7 @@ def make_lbfgs_train_step(
     use_rica = cfg.model.rica
     khm_order = cfg.model.khm_order
     khm_backend = cfg.model.khm_backend
+    cast_in = _input_cast(cfg)
 
     def objective(params, x, uv, duals, w):
         return cascade_objective(
@@ -258,6 +276,7 @@ def make_lbfgs_train_step(
     lbfgs_step = make_lbfgs_step(vg_fn, value_fn, cfg.optim.lbfgs)
 
     def train_step(state: LBFGSTrainState, x, uv, w: LossWeights):
+        x = cast_in(x)
         duals = Duals.zeros_like(x, fourier=cfg.model.fourier_variant)
 
         def admm_iter(carry, _):

@@ -95,3 +95,55 @@ def test_bf16_train_step_finite():
     assert np.all(np.isfinite(np.asarray(metrics["loss"])))
     for leaf in jax.tree.leaves(state.params):
         assert leaf.dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_bf16_full_loss_terms_close_to_f32():
+    """Accuracy gate for the bfloat16_full benchmark headline: every per-term loss of
+    the first ADMM iteration agrees with f32 within bf16 resolution even though the
+    input batch, AE outputs, residuals and duals are all stored bf16 (losses
+    accumulate in f32 via lshm_tpu.losses._f32)."""
+    from lshm_tpu.train.objective import Duals, cascade_objective
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 128, 128, 4))
+    uv = jnp.repeat(jax.random.normal(jax.random.PRNGKey(6), (2, 2)), 2, axis=0)
+    m32 = CascadedAE(cfg=_cfg("float32").model)
+    mf = CascadedAE(cfg=_cfg("bfloat16_full").model)
+    params = m32.init(jax.random.PRNGKey(7), x, uv)
+    w = LossWeights()
+    _, t32 = cascade_objective(m32, params, x, uv, Duals.zeros_like(x), w, 2)
+    xb = x.astype(jnp.bfloat16)
+    _, tf = cascade_objective(mf, params, xb, uv, Duals.zeros_like(xb), w, 2)
+    for k in t32:
+        a, b = float(t32[k]), float(tf[k])
+        assert np.isfinite(b), k
+        assert abs(a - b) <= 0.05 * abs(a) + 5e-3, (k, a, b)
+
+
+@pytest.mark.slow
+def test_bf16_full_training_tracks_f32():
+    """Multi-step gate: a few full ADMM steps under bfloat16_full produce finite,
+    decreasing losses tracking the f32 trajectory within bf16 tolerance, while the
+    params and optimizer state stay f32 (mixed precision with f32 master weights)."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 128, 4))
+    uv = jnp.repeat(jax.random.normal(jax.random.PRNGKey(3), (1, 2)), 4, axis=0)
+    import dataclasses
+
+    traj = {}
+    for dtype in ("float32", "bfloat16_full"):
+        cfg = _cfg(dtype)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, admm_iters=2))
+        model = CascadedAE(cfg=cfg.model)
+        state, tx = init_train_state(model, cfg, jax.random.PRNGKey(4), x, uv)
+        step = make_train_step(model, tx, cfg, num_groups=1, donate=False)
+        losses = []
+        for _ in range(3):
+            state, metrics = step(state, x, uv, LossWeights())
+            assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+            losses.append(float(metrics["loss"][-1]))
+        traj[dtype] = losses
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        assert losses[-1] < losses[0], (dtype, losses)
+    for a, b in zip(traj["float32"], traj["bfloat16_full"]):
+        assert abs(a - b) <= 0.02 * abs(a) + 5e-3, traj

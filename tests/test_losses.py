@@ -2,6 +2,7 @@
 implementing the documented reference math (SURVEY.md §2; reference formulas at
 src/lofar_models.py:199-229 and src/kharmonic_lofar.py:97-110)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -162,3 +163,45 @@ def test_khm_offline_update_converges():
     # every true center has a recovered centroid within 0.3
     for c in centers:
         assert np.min(np.linalg.norm(Mnp - c, axis=1)) < 0.3
+
+
+def test_recon_admm_losses_values_and_grads_match_autodiff():
+    """The fused custom-VJP loss block must match the naive term-by-term expression
+    in both values and gradients (w.r.t. x1, x2, x3), for shaped AND flat duals."""
+    from lshm_tpu.losses import admm_term, mse_sum, recon_admm_losses
+
+    rng = np.random.default_rng(11)
+    shape = (3, 8, 8, 2)
+    numel = int(np.prod(shape))
+    x, x1, x2, x3 = (jnp.asarray(rng.normal(size=shape), jnp.float32) for _ in range(4))
+    rho = 0.7
+
+    def naive(x1, x2, x3, y1, y2, y3):
+        x11 = (x - x1) * 0.5
+        loss0 = mse_sum(x1 + x2 + x3, x) / numel
+        loss1 = admm_term(y1, x - x1, rho) / numel
+        loss2 = admm_term(y2, x11 - x2, rho) / numel
+        loss3 = admm_term(y3, x11 - x3, rho) / numel
+        return loss0, loss1, loss2, loss3
+
+    def tot_naive(x1, x2, x3, y1, y2, y3):
+        t = naive(x1, x2, x3, y1, y2, y3)
+        return t[0] + 2.0 * t[1] + 3.0 * t[2] + 4.0 * t[3]
+
+    def tot_fused(x1, x2, x3, y1, y2, y3):
+        t = recon_admm_losses(x1, x2, x3, x, y1, y2, y3, rho)
+        return t[0] + 2.0 * t[1] + 3.0 * t[2] + 4.0 * t[3]
+
+    for flat in (False, True):
+        yshape = (numel,) if flat else shape
+        y1, y2, y3 = (jnp.asarray(rng.normal(size=yshape), jnp.float32)
+                      for _ in range(3))
+        v_naive = naive(x1, x2, x3, y1, y2, y3)
+        v_fused = recon_admm_losses(x1, x2, x3, x, y1, y2, y3, rho)
+        np.testing.assert_allclose(np.asarray(v_fused), np.asarray(v_naive),
+                                   rtol=1e-6, atol=1e-6)
+        g_naive = jax.grad(tot_naive, argnums=(0, 1, 2))(x1, x2, x3, y1, y2, y3)
+        g_fused = jax.grad(tot_fused, argnums=(0, 1, 2))(x1, x2, x3, y1, y2, y3)
+        for gn, gf in zip(g_naive, g_fused):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gn),
+                                       rtol=1e-5, atol=1e-7)
