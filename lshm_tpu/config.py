@@ -75,6 +75,14 @@ class ModelConfig:
     # flagship step timed 22.5 ms/ADMM-iter vs 14.4 unfused (XLA lowers
     # feature_group_count=2 convs worse than two separate thin convs here).
     fuse_1d: bool = False
+    # Exact rewrites of the 1D AEs' stride-4 ops (packed-view conv backward +
+    # Dense-as-ConvTranspose; see lshm_tpu/models/autoencoders.py). Same math and
+    # param tree, parity-tested.  DEFAULT OFF — measured negative IN-GRAPH on TPU
+    # v5e (2026-08-17, bf16_full flagship batch 420): packed-bwd convs 39.0k vs
+    # 41.0k patches/s, Dense tconv 28.8-30.5k — even though standalone op probes
+    # showed 1.5-2.4x backward wins; composed with the surrounding bias/ELU/cotangent
+    # fusions XLA's native conv lowering is better.
+    fast_conv1d: bool = False
     # legacy pipeline (reference Demo.ipynb): second 2D AE on the FFT of the residual
     # instead of the two 1D AEs.
     fourier_variant: bool = False

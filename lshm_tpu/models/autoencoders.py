@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
@@ -29,6 +30,136 @@ from jax import lax
 # channel ladder of the 6 conv stages (reference: src/lofar_models.py:31-41)
 CHANNEL_LADDER = (8, 12, 24, 48, 96, 192)
 BOTTLENECK = 192 * 2 * 2  # 768
+
+
+# ----------------------------------------------------------------------------------
+# fast exact rewrites of the 1D AE's stride-4 convolutions (TPU)
+#
+# Both stages of the 1D AEs use kernel=4, stride=4 ops (reference:
+# src/lofar_models.py:113-142).  Because the stride equals the kernel size, a
+# "pack-by-4" view of the sequence — [N, L, C] -> [N, L/4, 4C], which is a pure
+# reshape (layout-preserving, zero-copy) — turns them into stride-1 ops with 4x
+# the channels, a shape the TPU handles far better than thin stride-4 windows:
+#
+# * encoder conv (pad (1,1)): out[j] = sum_d x[4j-1+d] w[d] touches packed cells
+#   j-1 (sub-position 3) and j (sub-positions 0..2)  ==  a k=2, s=1 conv over the
+#   packed view with a (2, 4C, F) kernel holding each tap once.  Measured on v5e
+#   (batch 420, conv0): input-grad 382 -> ~50 us, weight-grad 464 -> 286 us, but
+#   FORWARD 223 -> 353 us (the packed kernel doubles the tap count).  So the
+#   rewrite is applied to the BACKWARD only, via custom_vjp: forward stays the
+#   native stride-4 conv, the backward differentiates the packed equivalent.
+#   Exact same math (the packed conv is tap-for-tap identical).
+#
+# * decoder ConvTranspose (lhs_dilation=4, pad (3,3)): the windows do not
+#   overlap, so each output position takes exactly ONE tap:
+#   out[4i+a] = x[i] @ w[3-a] — the whole op is a Dense layer to 4F channels
+#   followed by a free reshape.  No conv machinery, no `reverse` ops in the
+#   backward, and the weight-grad is a plain matmul contraction.
+#
+# STATUS: DOCUMENTED NEGATIVE RESULT — kept parity-tested but DEFAULT OFF
+# (ModelConfig.fast_conv1d).  In the full flagship step (bf16_full, batch 420,
+# 2026-08-17) the standalone wins did not compose: packed-bwd convs 39.0k vs
+# 41.0k patches/s baseline, Dense-tconv 28.8k (matmul form) / 30.5k (einsum
+# form), both together 28.4k.  The custom_vjp is a fusion boundary, and XLA's
+# native conv emitter handles these thin shapes better than dot_general once
+# the surrounding bias/ELU/cotangent fusions are in play.  The record matters:
+# this is the "obvious" layout trick for k=s convs, and it loses here.
+# ----------------------------------------------------------------------------------
+
+
+def _pack_kernel_s4(w: jnp.ndarray) -> jnp.ndarray:
+    """(4, C, F) stride-4 kernel -> its (2, 4C, F) packed-view equivalent.
+
+    Tap d sits at sequence position 4j-1+d = 4(j+q)+a with (q, a) = divmod(d-1, 4),
+    i.e. packed cell offset q+1 (of the k=2 window), sub-position a."""
+    k, c, f = w.shape
+    wp = jnp.zeros((2, 4 * c, f), w.dtype)
+    for d in range(4):
+        q, a = divmod(d - 1, 4)
+        wp = wp.at[q + 1, a * c:(a + 1) * c, :].set(w[d])
+    return wp
+
+
+_DN_1D = ("NWC", "WIO", "NWC")
+
+
+@jax.custom_vjp
+def conv1d_s4(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """kernel=4, stride=4, padding=(1,1) 1D conv (torch Conv1d(k=4,s=4,p=1)
+    geometry) with a packed-view backward (see module comment)."""
+    return lax.conv_general_dilated(x, w, (4,), ((1, 1),), dimension_numbers=_DN_1D)
+
+
+def _conv1d_s4_fwd(x, w):
+    return conv1d_s4(x, w), (x, w)
+
+
+def _conv1d_s4_bwd(res, ct):
+    x, w = res
+    n, L, c = x.shape
+
+    def packed(xp, wp):
+        return lax.conv_general_dilated(
+            xp, wp, (1,), ((1, 0),), dimension_numbers=_DN_1D
+        )
+
+    _, vjp = jax.vjp(packed, x.reshape(n, L // 4, 4 * c), _pack_kernel_s4(w))
+    dxp, dwp = vjp(ct)
+    dw = jnp.stack(
+        [dwp[(d - 1) // 4 + 1, ((d - 1) % 4) * c:((d - 1) % 4 + 1) * c, :]
+         for d in range(4)], axis=0,
+    )
+    return dxp.reshape(n, L, c), dw
+
+
+conv1d_s4.defvjp(_conv1d_s4_fwd, _conv1d_s4_bwd)
+
+
+def convt1d_s4(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose1d(k=4, s=4, p=0) as Dense + free reshape: out[4i+a] = x[i] @ w[3-a]
+    (w is the flax ConvTranspose (4, C, F) kernel; parity-tested vs nn.ConvTranspose).
+
+    Formulated as ONE [C, 4F] matmul so no intermediate with a tiny trailing dim is
+    materialized; the (N, L, 4F) -> (N, 4L, F) reshape is layout-preserving."""
+    n, L, c = x.shape
+    f = w.shape[-1]
+    wm = w[::-1].transpose(1, 0, 2).reshape(c, 4 * f)
+    return (x @ wm).reshape(n, L * 4, f)
+
+
+class FastConv1dS4(nn.Module):
+    """Drop-in for ``nn.Conv(features, (4,), strides=(4,), padding=((1,1),))`` with
+    the packed-view backward.  Identical param tree (kernel/bias, same shapes and
+    default inits), so checkpoints and the torch importer are unaffected."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return conv1d_s4(_cast(x, self.dtype), _cast(kernel, self.dtype)) \
+            + _cast(bias, self.dtype)
+
+
+class FastConvT1dS4(nn.Module):
+    """Drop-in for ``nn.ConvTranspose(features, (4,), strides=(4,), padding=((3,3),))``
+    computed as Dense + free reshape (non-overlapping windows). Identical param tree."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return convt1d_s4(_cast(x, self.dtype), _cast(kernel, self.dtype)) \
+            + _cast(bias, self.dtype)
 
 
 def uv_harmonic_features(uv: jnp.ndarray, scales: Sequence[float]) -> jnp.ndarray:
@@ -195,20 +326,28 @@ class AutoEncoder1D(nn.Module):
     harmonic_scales: Sequence[float] = (1e-4, 1e-3, 1e-2, 1e-1)
     rica: bool = True
     dtype: jnp.dtype = jnp.float32
+    # exact rewrites of the stride-4 ops (packed-view backward conv +
+    # Dense-as-ConvTranspose); same param tree, parity-tested — see module comment.
+    # Default OFF: measured in-graph NEGATIVE on TPU v5e (ModelConfig.fast_conv1d)
+    fast: bool = False
 
     @property
     def harmonic_dim(self) -> int:
         return len(self.harmonic_scales) * 4
 
     def setup(self):
-        conv = lambda f, name: nn.Conv(
-            f, (4,), strides=(4,), padding=((1, 1),), name=name, dtype=self.dtype
-        )
-        # decoder: out = 4 * in (torch ConvTranspose1d(4, s=4, p=0) geometry); dilated-input
-        # padding = k - 1 - 0 = 3 per side
-        tconv = lambda f, name: nn.ConvTranspose(
-            f, (4,), strides=(4,), padding=((3, 3),), name=name, dtype=self.dtype
-        )
+        if self.fast:
+            conv = lambda f, name: FastConv1dS4(f, name=name, dtype=self.dtype)
+            tconv = lambda f, name: FastConvT1dS4(f, name=name, dtype=self.dtype)
+        else:
+            conv = lambda f, name: nn.Conv(
+                f, (4,), strides=(4,), padding=((1, 1),), name=name, dtype=self.dtype
+            )
+            # decoder: out = 4 * in (torch ConvTranspose1d(4, s=4, p=0) geometry);
+            # dilated-input padding = k - 1 - 0 = 3 per side
+            tconv = lambda f, name: nn.ConvTranspose(
+                f, (4,), strides=(4,), padding=((3, 3),), name=name, dtype=self.dtype
+            )
         self.enc = [conv(f, f"conv{i}") for i, f in enumerate(CHANNEL_LADDER)]
         dec_ladder = CHANNEL_LADDER[-2::-1] + (self.channels,)
         self.dec = [tconv(f, f"tconv{i}") for i, f in enumerate(dec_ladder)]

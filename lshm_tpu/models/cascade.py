@@ -124,6 +124,7 @@ class CascadedAE(nn.Module):
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
                 dtype=dtype,
+                fast=c.fast_conv1d,
                 name="aeT",
             )
             self.aeF = AutoEncoder1D(
@@ -132,6 +133,7 @@ class CascadedAE(nn.Module):
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
                 dtype=dtype,
+                fast=c.fast_conv1d,
                 name="aeF",
             )
         self.khm = KHarmonicMeans(

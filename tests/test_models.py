@@ -192,3 +192,37 @@ def test_fused_dual_ae1d_matches_unfused():
                 np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
                 atol=2e-5, rtol=1e-5, err_msg=f"{name} rica={rica}",
             )
+
+
+def test_fast_conv1d_rewrites_match_flax():
+    """The stride-4 rewrites (packed-view conv backward + Dense-as-ConvTranspose;
+    ModelConfig.fast_conv1d, default OFF as a measured in-graph negative) must be
+    exactly equivalent to the flax ops: same param tree, same forward, same grads."""
+    import numpy as np
+
+    from lshm_tpu.models.autoencoders import AutoEncoder1D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16384, 4))
+    uv = jax.random.normal(jax.random.PRNGKey(1), (2, 2))
+    slow = AutoEncoder1D(latent_dim=16, fast=False)
+    fast = AutoEncoder1D(latent_dim=16, fast=True)
+    p_slow = slow.init(jax.random.PRNGKey(2), x, uv)
+    p_fast = fast.init(jax.random.PRNGKey(2), x, uv)
+    assert jax.tree_util.tree_structure(p_slow) == jax.tree_util.tree_structure(p_fast)
+    for a, b in zip(jax.tree.leaves(p_slow), jax.tree.leaves(p_fast)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ya, mua = slow.apply(p_slow, x, uv)
+    yb, mub = fast.apply(p_slow, x, uv)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mua), np.asarray(mub), rtol=1e-5, atol=1e-6)
+
+    def loss(params, mod):
+        y, mu = mod.apply(params, x, uv)
+        return jnp.sum(y * y) + jnp.sum(mu)
+
+    ga = jax.grad(loss)(p_slow, slow)
+    gb = jax.grad(loss)(p_slow, fast)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
