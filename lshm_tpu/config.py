@@ -287,6 +287,14 @@ def preset(name: str) -> Config:
         return base.replace(model=dataclasses.replace(base.model, fourier_variant=True))
     if name == "full_khm":           # config #3: full cascaded duo + KHM + ADMM
         return base
+    if name == "full_khm_bf16":      # config #3 in the accuracy-gated mixed-precision
+        # mode (bf16 activations/residuals/duals, f32 params/optimizer/losses):
+        # ~1.4x train throughput on TPU v5e (tests/test_bf16.py gates; bench.py
+        # headline mode).  Adam path only — bf16 loss noise degrades the L-BFGS
+        # line search (benchmarks/PERF_NOTES.md).
+        return base.replace(
+            model=dataclasses.replace(base.model, compute_dtype="bfloat16_full")
+        )
     if name == "full_khm_lbfgs":     # config #4: same but LBFGS w/ alternating groups
         return base.replace(
             optim=OptimConfig(optimizer="lbfgs", group_schedule=("ae2d", "ae1d", "khm"))

@@ -28,7 +28,7 @@ def _shrink(cfg):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "name", ["ae2d_adam", "fourier_cascade", "full_khm", "full_khm_lbfgs"]
+    "name", ["ae2d_adam", "fourier_cascade", "full_khm", "full_khm_bf16", "full_khm_lbfgs"]
 )
 def test_preset_trains(name, synth_h5):
     from lshm_tpu.data import MinibatchSampler
