@@ -12,9 +12,10 @@ speedup over the reference measured by benchmarks/measure_reference.py.
 
 The headline runs the accuracy-gated mixed-precision mode
 (``compute_dtype="bfloat16_full"``: bf16 activations/residuals/duals, f32
-params/optimizer/loss accumulation — tests/test_bf16.py; final flagship losses match
-f32 to 4 decimals after 10 ADMM iters).  A pure-f32 control is measured as a
-secondary; override the headline dtype with LSHM_BENCH_DTYPE=float32.
+params/optimizer/loss accumulation — tests/test_bf16.py; measured flagship final
+loss after 10 ADMM iters within 3e-4 of f32, 15.2052 vs 15.2049).  A pure-f32
+control is measured as a secondary; override the headline dtype with
+LSHM_BENCH_DTYPE=float32.
 
 Timing discipline (round-3 rebuild; see VERDICT.md round 2):
   * ``jax.block_until_ready`` acks after *dispatch*, not execution, on the axon TPU
@@ -305,8 +306,8 @@ def measure_ours_f32() -> dict:
     """Secondary: the same flagship step in pure float32 — the bit-conservative
     control for the mixed-precision headline (the headline's bfloat16_full mode is
     accuracy-gated by tests/test_bf16.py: f32 params/optimizer/loss accumulation,
-    bf16 activations/residuals/duals; measured final losses agree with f32 to 4
-    decimals after 10 ADMM iters at flagship scale)."""
+    bf16 activations/residuals/duals; measured flagship final loss within 3e-4 of
+    f32 after 10 ADMM iters)."""
     d = measure_ours("float32")
     return {
         "f32_patches_per_sec": d["patches_per_sec"],
@@ -386,7 +387,9 @@ def main():
     secondaries = [("eval", measure_ours_eval)]
     if not os.environ.get("LSHM_BENCH_SKIP_LBFGS"):
         secondaries.append(("lbfgs", measure_ours_lbfgs))
-    if not os.environ.get("LSHM_BENCH_SKIP_F32"):
+    # f32 control is redundant when the headline itself was overridden to float32
+    if (not os.environ.get("LSHM_BENCH_SKIP_F32")
+            and detail.get("compute_dtype") != "float32"):
         secondaries.append(("f32", measure_ours_f32))
     compile_cost = detail.get("compile_sec", 120.0)
     for name, fn in secondaries:

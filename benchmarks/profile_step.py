@@ -87,7 +87,10 @@ def parse_trace(trace_dir: str, top: int = 40) -> list[dict]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3)
-    ap.add_argument("--dtype", default="float32")
+    # default follows the bench headline dtype so the profile matches what bench.py
+    # measures; pass --dtype float32 for the control profile
+    ap.add_argument("--dtype",
+                    default=os.environ.get("LSHM_BENCH_DTYPE", "bfloat16_full"))
     ap.add_argument("--trace-dir", default="/tmp/lshm_profile")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "profile_report.json"))

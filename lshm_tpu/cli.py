@@ -276,7 +276,8 @@ def main(argv=None):
     p = sub.add_parser("train", help="train the cascaded AE + KHM model")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--preset", default="full_khm",
-                   choices=["ae2d_adam", "fourier_cascade", "full_khm", "full_khm_lbfgs"])
+                   choices=["ae2d_adam", "fourier_cascade", "full_khm",
+                            "full_khm_bf16", "full_khm_lbfgs"])
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--quiet", action="store_true")
