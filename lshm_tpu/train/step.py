@@ -2,9 +2,12 @@
 
 One call = one minibatch = ``nadmm`` inner iterations of {optimizer update on the full
 augmented-Lagrangian objective, then Lagrange-multiplier update}, exactly the structure of
-the reference training loop (reference: src/kharmonic_lofar.py:115-202) — but compiled as a
-single XLA program via ``lax.scan``: no per-iteration host round trips, duals live in
-device memory, and metrics come back as stacked [nadmm] arrays.
+the reference training loop (reference: src/kharmonic_lofar.py:115-202) — but compiled as
+ONE XLA program (unrolled by default, ``lax.scan`` fallback — see ``admm_loop``): no
+per-iteration host round trips, duals live in device memory, and metrics come back as
+stacked [nadmm] arrays.  In the unrolled graph XLA CSEs the dual-update forward with the
+next iteration's gradient forward, so each iteration costs one fwd+bwd
+(benchmarks/profile_report.json: 36 forward convs per iteration = one forward).
 """
 
 from __future__ import annotations
