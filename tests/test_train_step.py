@@ -343,3 +343,35 @@ def test_admm_loop_zero_iters():
         carry, metrics = admm_loop(body, jnp.zeros(()), 0, unroll)
         assert float(carry) == 0.0
         assert metrics["loss"].shape == (0,)
+
+
+@pytest.mark.slow
+def test_bf16_full_sharded_step_matches_single_device():
+    """The mixed-precision headline mode (compute_dtype=bfloat16_full: the step casts
+    the batch to bf16 internally) under the GSPMD data-parallel path must match the
+    single-device bf16_full step — the cast composes with batch sharding because it
+    is elementwise and the loss reductions accumulate in f32 on each shard before
+    the (sum/numel) combine."""
+    from lshm_tpu.train.parallel import shard_batch, train_step_sharded
+
+    cfg = tiny_config(compute_dtype="bfloat16_full")
+    model = CascadedAE(cfg=cfg.model)
+    x, uv = make_batch(jax.random.PRNGKey(11))
+    state, tx = init_train_state(model, cfg, jax.random.PRNGKey(12), x, uv)
+    mesh = make_mesh((8,), ("data",))
+    raw = make_train_step(model, tx, cfg, num_groups=2, donate=False, jit=False)
+
+    single = make_train_step(model, tx, cfg, num_groups=2, donate=False)
+    s1, m1 = single(state, x, uv, LossWeights())
+    assert np.all(np.isfinite(np.asarray(m1["loss"])))
+
+    sharded = train_step_sharded(raw, mesh, donate=False)
+    xs, uvs = shard_batch(mesh, x, uv)
+    s2, m2 = sharded(replicate_state(mesh, state), xs, uvs,
+                     replicate_state(mesh, LossWeights()))
+    # bf16 forward + f32 accumulation: shard-order effects are bounded by bf16 eps
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=5e-3
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
