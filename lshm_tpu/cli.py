@@ -262,6 +262,21 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", plat)
 
+    # Persistent XLA compilation cache: TPU compiles of the flagship step run
+    # minutes on a loaded relay; caching makes repeat CLI runs skip them entirely.
+    # Opt out with LSHM_JAX_CACHE_DIR="".
+    cache_dir = os.environ.get(
+        "LSHM_JAX_CACHE_DIR", os.path.expanduser("~/.cache/lshm_tpu/jax")
+    )
+    if cache_dir:
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
     ap = argparse.ArgumentParser(prog="lshm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
