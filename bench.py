@@ -365,11 +365,44 @@ def _mfu_refusal(detail: dict) -> str | None:
     return None
 
 
+class _Watchdog:
+    """SIGALRM guard: a hung relay (observed: trivial jits block >10 min in transient
+    relay-down windows) would otherwise leave the driver's `timeout N python bench.py`
+    with rc=124 and an EMPTY tail — indistinguishable from a broken bench.  The alarm
+    converts the hang into a diagnostic JSON line on stdout before the timeout."""
+
+    def __init__(self, seconds: float, what: str):
+        self.seconds = max(int(seconds), 1)
+        self.what = what
+
+    def __enter__(self):
+        import signal
+
+        def on_alarm(signum, frame):
+            raise TimeoutError(
+                f"{self.what} exceeded {self.seconds}s — relay hung or compiling "
+                f"beyond budget (axon transient-down windows block even trivial jits)"
+            )
+
+        self._old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
 def main():
     t_start = time.perf_counter()
     budget = _budget()
     try:
-        detail = measure_ours()
+        # leave >=30 s of the driver budget to print diagnostics + any cached info
+        with _Watchdog(budget - 30, "headline measurement (compile + timed steps)"):
+            detail = measure_ours()
     except Exception as e:
         print(json.dumps({"metric": "ae_khm_train_patches_per_sec_per_chip",
                           "value": None, "unit": "patches/s", "vs_baseline": None,
