@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # Same hermetic-run override the CLI honors: LSHM_PLATFORM=cpu pins the backend
+    # via jax.config (reliable even where a sitecustomize already chose a platform).
+    plat = os.environ.get("LSHM_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/lshm_demo")
     ap.add_argument("--epochs", type=int, default=1)
