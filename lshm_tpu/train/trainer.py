@@ -10,6 +10,7 @@ metric logging, and unified orbax checkpointing with exact resume.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Callable
 
 import jax
@@ -264,7 +265,14 @@ class Trainer:
                         jnp.zeros((1, *x.shape[1:]), x.dtype),
                         jnp.zeros((1, 2), x.dtype),
                     )
+                new_step = (kind, group, mb.num_baselines * nproc) not in self._step_cache
                 step = self._get_step(kind, group, mb.num_baselines * nproc)
+                if new_step:
+                    # first use of this step shape triggers the XLA compile — on a
+                    # loaded TPU relay this can take minutes; say so instead of
+                    # appearing hung (repeat runs hit the persistent compile cache)
+                    print(f"compiling {kind} train step (first run may take minutes; "
+                          "cached for later runs)...", file=sys.stderr, flush=True)
                 if pending is not None and cfg.train.skip_nonfinite:
                     _settle(pending)
                 prev_state = self._state if cfg.train.skip_nonfinite else None
