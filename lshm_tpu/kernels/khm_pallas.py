@@ -202,9 +202,16 @@ def khm_loss_fused(X: jnp.ndarray, M: jnp.ndarray, p: int = 4,
     """KHM loss with automatic backend choice: Pallas on TPU, XLA elsewhere.
 
     ``force``: "pallas" | "interpret" | "xla" for testing.  Odd p falls back to XLA
-    (the shipped configuration uses p=4; reference: src/kharmonic_lofar.py:40)."""
-    from lshm_tpu.losses import khm_loss
+    (the shipped configuration uses p=4; reference: src/kharmonic_lofar.py:40).
 
+    Inputs are upcast to f32 first (same convention as lshm_tpu.losses._f32): under
+    the bfloat16_full data path the latents arrive bf16, and the Pallas custom VJP
+    emits f32 cotangents — the cast keeps the custom_vjp primal f32 so autodiff
+    routes the dtype conversion through the cast instead of tripping the aval
+    check."""
+    from lshm_tpu.losses import _f32, khm_loss
+
+    X, M = _f32(X), _f32(M)
     if force == "xla" or p % 2 == 1:
         return khm_loss(X, M, p)
     if force == "pallas":

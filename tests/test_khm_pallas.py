@@ -94,3 +94,17 @@ def test_auto_dispatch_cpu_uses_xla():
     assert np.isfinite(val)
     if jax.default_backend() != "tpu":
         assert not khm_loss_pallas_available()
+
+
+def test_khm_fused_accepts_bf16_latents():
+    """Under the bfloat16_full data path the latents arrive bf16; the fused backend
+    must upcast (losses._f32 convention) so the Pallas custom VJP's f32 cotangents
+    route through the cast instead of tripping custom_vjp's aval check."""
+    X = jax.random.normal(jax.random.PRNGKey(0), (64, 16), jnp.bfloat16)
+    M = jax.random.normal(jax.random.PRNGKey(1), (4, 16), jnp.float32)
+    v16 = khm_loss_fused(X, M, 4, force="interpret")
+    v32 = khm_loss_fused(X.astype(jnp.float32), M, 4, force="xla")
+    assert abs(float(v16) - float(v32)) < 1e-4 * abs(float(v32)) + 1e-6
+    g = jax.grad(lambda X: khm_loss_fused(X, M, 4, force="interpret"))(X)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
