@@ -68,7 +68,11 @@ class Trainer:
                 total = len(jax.devices())
                 if -1 not in shape and math.prod(shape) != total:
                     if math.prod(shape) == 1:
-                        shape = (-1,)      # default config: auto-span all devices
+                        # default config: auto-span all devices on the first (data)
+                        # axis, keeping one dim per configured axis name so
+                        # multi-axis configs like mesh_axes=("data","model") still
+                        # build (Mesh requires len(shape) == len(axis_names))
+                        shape = (-1,) + (1,) * (len(self.cfg.train.mesh_axes) - 1)
                     else:
                         raise ValueError(
                             f"train.mesh_shape={shape} does not cover the "
@@ -388,6 +392,12 @@ class Trainer:
             # always overwrite (a later load of an epoch-boundary checkpoint must
             # clear any stale mid-epoch position from a previous load)
             self._resume_iter = int(extras.get("iter") or 0)
+        else:
+            # a load with no recorded position (params-only, e.g. a torch import)
+            # must ALSO clear any stale resume position from an earlier load —
+            # otherwise run() would silently skip data from epoch 0
+            self._resume_epoch = 0
+            self._resume_iter = 0
 
 
 def train_from_config(cfg: Config) -> Trainer:
