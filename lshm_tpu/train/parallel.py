@@ -24,6 +24,11 @@ def make_mesh(
     """Mesh over all (or the given) devices; -1 in ``shape`` absorbs the remainder."""
     devs = np.asarray(devices if devices is not None else jax.devices())
     shape = list(shape)
+    if len(shape) != len(axis_names):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} has {len(shape)} dim(s) but "
+            f"{len(axis_names)} axis name(s) {tuple(axis_names)} — one per dim"
+        )
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
         shape[shape.index(-1)] = len(devs) // known

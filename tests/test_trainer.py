@@ -329,3 +329,26 @@ def test_sampler_skip_matches_sampling(synth_h5):
             a.sample()
         b.skip(3)
         np.testing.assert_array_equal(a.sample().x, b.sample().x)
+
+
+def test_mesh_autospan_preserves_axis_count(monkeypatch):
+    """Multi-process default config (mesh_shape product 1) auto-spans all devices on
+    the data axis while keeping one mesh dim per configured axis name — regression
+    for make_mesh((-1,), ('data','model')) raising on reshape."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, mesh_shape=(1, 1), mesh_axes=("data", "model")))
+    t = Trainer(cfg, MetricLogger(echo=False))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    mesh = t.mesh
+    assert mesh is not None
+    assert dict(mesh.shape) == {"data": len(jax.devices()), "model": 1}
+
+
+def test_make_mesh_rejects_shape_axes_mismatch():
+    from lshm_tpu.train.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="axis name"):
+        make_mesh((-1,), ("data", "model"))
