@@ -65,15 +65,23 @@ def baseline_distance_matrix(
 
     for start in range(0, len(ids), baselines_per_batch):
         chunk = ids[start : start + baselines_per_batch]
-        # pad the tail chunk to a full batch: a partial final chunk would otherwise
-        # re-trace _batched_features (a second multi-minute TPU compile per SAP);
-        # the [: len(chunk)] slices below discard the padded rows.  ONE h5 open per
-        # chunk serves patches + uv for every baseline in it (VERDICT round 2 item 7).
-        padded = chunk + [chunk[-1]] * (baselines_per_batch - len(chunk))
+        # ONE h5 open per chunk serves patches + uv for every baseline in it
+        # (VERDICT round 2 item 7).  The tail chunk is padded to a full batch AFTER
+        # decoding — a partial final chunk would otherwise re-trace _batched_features
+        # (a second multi-minute TPU compile per SAP), but padding the id list before
+        # the read would re-decode the last baseline from disk up to
+        # baselines_per_batch-1 times.  The [: len(chunk)] slices below discard the
+        # padded rows.
         _, _, patches, uv_full = read_baselines_patches_batch(
-            filename, sap, padded, patch_size, num_channels, uvdist=True
+            filename, sap, chunk, patch_size, num_channels, uvdist=True
         )
-        ppb = patches.shape[0] // len(padded)
+        ppb = patches.shape[0] // len(chunk)
+        npad = baselines_per_batch - len(chunk)
+        if npad:
+            patches = np.concatenate(
+                [patches, np.tile(patches[-ppb:], (npad, 1, 1, 1))], axis=0
+            )
+            uv_full = np.concatenate([uv_full, np.tile(uv_full[-ppb:], (npad, 1))], axis=0)
         x = jnp.asarray(patches)
         uv = jnp.asarray(uv_full)
         dists, mls = _batched_features(model, params, x, uv, ppb, order)
