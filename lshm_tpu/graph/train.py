@@ -114,9 +114,19 @@ def build_station_graph_data(
         sel = np.array([int(rng.integers(0, ppb)) for _ in ids])
         rows = np.arange(len(ids)) * ppb + sel
         xsel, uvsel = patches[rows], uv[rows]
-        Mu_all = latents_of(np.concatenate([xsel, conjugate_channels(xsel)]),
-                            np.concatenate([uvsel, uvsel]))
-        Mu_sel, Mu_conj = Mu_all[: len(ids)], Mu_all[len(ids):]
+        # conjugate latents are only consumed by cross-correlation edges (the reverse
+        # edge direction) — autocorrelation rows would be wasted forwards
+        cross = np.array(
+            [i for i in range(len(ids)) if int(pairs[i][0]) != int(pairs[i][1])],
+            dtype=np.int64,
+        )
+        Mu_all = latents_of(
+            np.concatenate([xsel, conjugate_channels(xsel[cross])]),
+            np.concatenate([uvsel, uvsel[cross]]),
+        )
+        Mu_sel = Mu_all[: len(ids)]
+        Mu_conj = np.zeros_like(Mu_sel)
+        Mu_conj[cross] = Mu_all[len(ids):]
         if node_attr is None:
             D = Mu_sel.shape[-1]
             node_attr = np.zeros((n_stat, D), np.float32)
@@ -168,20 +178,11 @@ def train_station_graph(
     params = model.init(jax.random.PRNGKey(seed), x, ei, ea)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, opt_state):
-        def loss_fn(p):
-            pred = model.apply(p, x, ei, ea)
-            return jnp.sum(mask * (pred - y) ** 2) / jnp.maximum(jnp.sum(mask), 1.0)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    step = _make_station_step(model, tx)
 
     losses = []
     for _ in range(epochs):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, x, ei, ea, y, mask)
         losses.append(float(loss))
     return model, params, losses
 
