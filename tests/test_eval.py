@@ -89,3 +89,20 @@ def test_save_recon_panels(small_model, synth_h5, tmp_path):
     save_recon_panels(model, params, synth_h5, "0", [0, 1], str(tmp_path / "panels"))
     assert (tmp_path / "panels" / "xx_0.png").exists()
     assert (tmp_path / "panels" / "xx_1.png").exists()
+
+
+@pytest.mark.slow
+def test_distance_matrix_chunk_size_invariance(small_model, synth_h5):
+    """X and the latents must not depend on baselines_per_batch — regression for the
+    tail-chunk handling (padded rows discarded; padding added after decode must not
+    corrupt real baselines; chunk larger than nbase works)."""
+    model, params = small_model
+    ref_X, ref_lat = baseline_distance_matrix(
+        model, params, synth_h5, "0", order=4, baselines_per_batch=10
+    )
+    for bpb in (3, 7, 16):
+        X, lat = baseline_distance_matrix(
+            model, params, synth_h5, "0", order=4, baselines_per_batch=bpb
+        )
+        np.testing.assert_allclose(X, ref_X, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(lat, ref_lat, rtol=1e-5, atol=1e-6)
