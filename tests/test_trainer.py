@@ -352,3 +352,40 @@ def test_make_mesh_rejects_shape_axes_mismatch():
 
     with pytest.raises(ValueError, match="axis name"):
         make_mesh((-1,), ("data", "model"))
+
+
+@pytest.mark.slow
+def test_lbfgs_mode_exact_resume(synth_h5, tmp_path):
+    """A checkpoint taken in L-BFGS mode restores the FULL optimizer state (curvature
+    history, running batch statistics, func_evals) and the resumed run reproduces the
+    uninterrupted trajectory exactly — the reference never checkpoints optimizer state
+    at all (reference: src/kharmonic_lofar.py:210-222)."""
+    import dataclasses
+
+    ckpt = str(tmp_path / "ck")
+    base = tiny_cfg()
+    two_epochs = dataclasses.replace(
+        base.train, num_epochs=2, iters_per_epoch=1, admm_iters=1, checkpoint_dir="")
+    cfg_full = base.replace(
+        optim=dataclasses.replace(base.optim, optimizer="lbfgs"),
+        train=two_epochs,
+    )
+    t_full = Trainer(cfg_full, MetricLogger(echo=False))
+    t_full.run(make_sampler(synth_h5, cfg_full))
+
+    # interrupted: 1 epoch + save, then a fresh Trainer resumes epoch 2
+    cfg_a = cfg_full.replace(train=dataclasses.replace(
+        two_epochs, num_epochs=1, checkpoint_dir=ckpt))
+    t_a = Trainer(cfg_a, MetricLogger(echo=False))
+    t_a.run(make_sampler(synth_h5, cfg_a))
+
+    t_b = Trainer(cfg_full, MetricLogger(echo=False))
+    t_b.load(ckpt)
+    assert t_b._opt_kind[0] == "lbfgs"
+    # optimizer state restored, not re-initialized: cumulative closure evals carry over
+    assert int(np.asarray(t_b._state.opt_state.func_evals)) == int(
+        np.asarray(t_a._state.opt_state.func_evals))
+    t_b.run(make_sampler(synth_h5, cfg_full))
+
+    for a, b in zip(jax.tree.leaves(t_full.params), jax.tree.leaves(t_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
