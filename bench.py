@@ -62,6 +62,7 @@ except Exception:
 BASELINE_PATH = os.path.join(_REPO, "benchmarks", "reference_baseline.json")
 DEFAULT_THREADS_PATH = os.path.join(_REPO, "benchmarks",
                                     "reference_baseline_default_threads.json")
+LAST_GOOD_PATH = os.path.join(_REPO, "benchmarks", "last_bench.json")
 
 # Realistic LOFAR minibatch geometry: the reference default is 12 baselines per iter
 # (src/kharmonic_lofar.py:25) and a real SAP (~512x384+) yields ~35 overlapping
@@ -302,6 +303,34 @@ def measure_ours_lbfgs() -> dict:
     }
 
 
+def measure_ours_peak() -> dict:
+    """Secondary: the same flagship step at the throughput-optimal batch (840 = 24
+    baselines x 35 patches; measured sweep 420 -> 41.0k, 840 -> 45.5k, 1680 -> 40.6k
+    patches/s, benchmarks/scaling_bf16full.json) — the per-chip peak for users who can
+    feed wider minibatches than the reference's default geometry."""
+    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
+
+    batch, nbase = 840, 24
+    dtype = os.environ.get("LSHM_BENCH_DTYPE", "bfloat16_full")
+    cfg, model, x, uv, key = _flagship_setup(batch, nbase, compute_dtype=dtype)
+    state, tx = init_train_state(model, cfg, key, x, uv)
+    step_fn = make_train_step(model, tx, cfg, num_groups=nbase, donate=False, jit=False)
+    w = LossWeights()
+    compiled = jax.jit(step_fn).lower(state, x, uv, w).compile()
+    flops = _cost_flops(compiled)
+    state, m = compiled(state, x, uv, w)
+    _fetch_scalar(m)
+    r, _ = _measure_two_point(compiled, state, x, uv, w, NADMM)
+    out = {
+        "peak_patches_per_sec": batch / r["sec_per_admm_iter"],
+        "peak_batch_patches": batch,
+        "peak_sec_per_admm_iter": r["sec_per_admm_iter"],
+    }
+    if flops:
+        out["peak_mfu"] = flops / r["sec_per_step_call"] / PEAK_FLOPS
+    return out
+
+
 def measure_ours_f32() -> dict:
     """Secondary: the same flagship step in pure float32 — the bit-conservative
     control for the mixed-precision headline (the headline's bfloat16_full mode is
@@ -345,6 +374,12 @@ def _emit(headline_pps: float, detail: dict) -> str:
         "detail": detail,
     })
     print(line, flush=True)
+    try:                                 # record for relay-outage diagnostics only
+        with open(LAST_GOOD_PATH, "w") as f:
+            f.write(json.dumps({"recorded_at": time.time(), "line": json.loads(line)})
+                    + "\n")
+    except OSError:
+        pass
     return line
 
 
@@ -404,9 +439,18 @@ def main():
         with _Watchdog(budget - 30, "headline measurement (compile + timed steps)"):
             detail = measure_ours()
     except Exception as e:
-        print(json.dumps({"metric": "ae_khm_train_patches_per_sec_per_chip",
-                          "value": None, "unit": "patches/s", "vs_baseline": None,
-                          "error": repr(e)[:400]}), flush=True)
+        err = {"metric": "ae_khm_train_patches_per_sec_per_chip",
+               "value": None, "unit": "patches/s", "vs_baseline": None,
+               "error": repr(e)[:400]}
+        # surface the last successful measurement for context — value stays None
+        # (an old number is NOT this run's result), but a transient relay outage
+        # should not erase all evidence that the bench works
+        try:
+            with open(LAST_GOOD_PATH) as f:
+                err["last_good_run"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(err), flush=True)
         raise
     refusal = _mfu_refusal(detail)
     if refusal is not None:
@@ -418,6 +462,8 @@ def main():
     # Secondaries only inside the remaining budget; each prints a refreshed headline
     # line so the LAST stdout line is always the fullest valid result.
     secondaries = [("eval", measure_ours_eval)]
+    if not os.environ.get("LSHM_BENCH_SKIP_PEAK"):
+        secondaries.append(("peak", measure_ours_peak))
     if not os.environ.get("LSHM_BENCH_SKIP_LBFGS"):
         secondaries.append(("lbfgs", measure_ours_lbfgs))
     # f32 control is redundant when the headline itself was overridden to float32
@@ -442,13 +488,16 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["headline", "eval", "lbfgs", "f32"], default=None)
+    ap.add_argument("--only", choices=["headline", "eval", "peak", "lbfgs", "f32"],
+                    default=None)
     ap.add_argument("--dtype", default=None, help="compute dtype for --only headline")
     args = ap.parse_args()
     if args.only == "headline":
         print(json.dumps(measure_ours(args.dtype)), flush=True)
     elif args.only == "eval":
         print(json.dumps(measure_ours_eval()), flush=True)
+    elif args.only == "peak":
+        print(json.dumps(measure_ours_peak()), flush=True)
     elif args.only == "lbfgs":
         print(json.dumps(measure_ours_lbfgs()), flush=True)
     elif args.only == "f32":

@@ -95,3 +95,31 @@ def test_two_point_on_cpu_scales_with_work():
     r_big = decompose.time_fn(lambda A: A @ A, (a_big,), n1=1, n2=4, reps=2)
     assert r_big["flops"] > r_small["flops"]
     assert r_big["sec_per_call"] > 0 and r_small["sec_per_call"] > 0
+
+
+def test_emit_records_last_good_and_error_path_surfaces_it(tmp_path, monkeypatch, capsys):
+    """_emit persists the printed line to LAST_GOOD_PATH; the main() error path
+    attaches it as last_good_run context (value stays None — an old number is not
+    this run's result)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(tmp_path / "last_bench.json"))
+    bench._emit(1234.5, {"mfu": 0.03})
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["value"] == 1234.5
+    saved = json.loads((tmp_path / "last_bench.json").read_text())
+    assert saved["line"]["value"] == 1234.5
+    assert saved["recorded_at"] > 0
+
+    # error path: headline measurement raises -> error line carries last_good_run
+    monkeypatch.setattr(bench, "measure_ours",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("relay down")))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        bench.main()
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert err["value"] is None and "relay down" in err["error"]
+    assert err["last_good_run"]["line"]["value"] == 1234.5
