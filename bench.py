@@ -478,7 +478,10 @@ def main():
             _emit(headline_pps, detail)   # surface the skip even when it is last
             continue
         try:
-            detail.update(fn())
+            # bound each secondary by the remaining wall budget: a relay hang here
+            # must not turn an already-valid headline into a driver rc=124
+            with _Watchdog(budget - elapsed - 15, f"secondary '{name}'"):
+                detail.update(fn())
         except Exception as e:
             detail[f"{name}_error"] = repr(e)[:200]
         _emit(headline_pps, detail)
