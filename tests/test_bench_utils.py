@@ -123,3 +123,41 @@ def test_emit_records_last_good_and_error_path_surfaces_it(tmp_path, monkeypatch
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert err["value"] is None and "relay down" in err["error"]
     assert err["last_good_run"]["line"]["value"] == 1234.5
+
+
+def test_main_runs_all_secondaries_and_budget_skips(tmp_path, monkeypatch, capsys):
+    """main() enriches the headline with every secondary inside the budget, and
+    surfaces '<name>_skipped' markers (still rc=0) when the budget is exhausted —
+    the driver's tail line must always be the fullest valid result."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(tmp_path / "last_bench.json"))
+    for var in ("LSHM_BENCH_SKIP_PEAK", "LSHM_BENCH_SKIP_LBFGS", "LSHM_BENCH_SKIP_F32"):
+        monkeypatch.delenv(var, raising=False)
+    headline = {"patches_per_sec": 1000.0, "mfu": 0.03, "compile_sec": 0.0,
+                "compute_dtype": "bfloat16_full"}
+    monkeypatch.setattr(bench, "measure_ours", lambda *a, **k: dict(headline))
+    monkeypatch.setattr(bench, "measure_ours_eval", lambda: {"eval_pps": 1.0})
+    monkeypatch.setattr(bench, "measure_ours_peak",
+                        lambda: {"peak_patches_per_sec": 2000.0})
+    monkeypatch.setattr(bench, "measure_ours_lbfgs", lambda: {"lbfgs_pps": 3.0})
+    monkeypatch.setattr(bench, "measure_ours_f32", lambda: {"f32_pps": 4.0})
+
+    monkeypatch.setattr(bench, "_budget", lambda: 10_000.0)
+    bench.main()
+    last = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    d = last["detail"]
+    assert last["value"] == 1000.0
+    assert d["eval_pps"] == 1.0 and d["peak_patches_per_sec"] == 2000.0
+    assert d["lbfgs_pps"] == 3.0 and d["f32_pps"] == 4.0
+
+    # exhausted budget: secondaries are skipped with markers, headline still emitted
+    monkeypatch.setattr(bench, "_budget", lambda: 29.0)  # below the 30 s reserve
+    bench.main()
+    last = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    d = last["detail"]
+    assert last["value"] == 1000.0
+    for name in ("eval", "peak", "lbfgs", "f32"):
+        assert d[f"{name}_skipped"] == "wall budget"
