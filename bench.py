@@ -201,16 +201,16 @@ def _measure_two_point(step, state, x, uv, w, nadmm: int):
     return detail, state
 
 
-def measure_ours(compute_dtype: str | None = None) -> dict:
+def measure_ours(compute_dtype: str | None = None, batch: int = BATCH_PATCHES,
+                 nbase: int = NBASELINES) -> dict:
     """Headline measurement: the flagship ADMM step, honest execution time."""
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
     dtype = compute_dtype or os.environ.get("LSHM_BENCH_DTYPE", "bfloat16_full")
     donate = bool(int(os.environ.get("LSHM_BENCH_DONATE", "0")))
-    cfg, model, x, uv, key = _flagship_setup(BATCH_PATCHES, NBASELINES,
-                                             compute_dtype=dtype)
+    cfg, model, x, uv, key = _flagship_setup(batch, nbase, compute_dtype=dtype)
     state, tx = init_train_state(model, cfg, key, x, uv)
-    step_fn = make_train_step(model, tx, cfg, num_groups=NBASELINES, donate=False,
+    step_fn = make_train_step(model, tx, cfg, num_groups=nbase, donate=False,
                               jit=False)
     w = LossWeights()
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -225,8 +225,8 @@ def measure_ours(compute_dtype: str | None = None) -> dict:
     r, _ = _measure_two_point(compiled, state, x, uv, w, NADMM)
     dt = r["sec_per_admm_iter"]
     out = {
-        "patches_per_sec": BATCH_PATCHES / dt,
-        "batch_patches": BATCH_PATCHES,
+        "patches_per_sec": batch / dt,
+        "batch_patches": batch,
         "nadmm": NADMM,
         "compute_dtype": dtype,
         "donate": donate,
@@ -308,26 +308,14 @@ def measure_ours_peak() -> dict:
     baselines x 35 patches; measured sweep 420 -> 41.0k, 840 -> 45.5k, 1680 -> 40.6k
     patches/s, benchmarks/scaling_bf16full.json) — the per-chip peak for users who can
     feed wider minibatches than the reference's default geometry."""
-    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
-
-    batch, nbase = 840, 24
-    dtype = os.environ.get("LSHM_BENCH_DTYPE", "bfloat16_full")
-    cfg, model, x, uv, key = _flagship_setup(batch, nbase, compute_dtype=dtype)
-    state, tx = init_train_state(model, cfg, key, x, uv)
-    step_fn = make_train_step(model, tx, cfg, num_groups=nbase, donate=False, jit=False)
-    w = LossWeights()
-    compiled = jax.jit(step_fn).lower(state, x, uv, w).compile()
-    flops = _cost_flops(compiled)
-    state, m = compiled(state, x, uv, w)
-    _fetch_scalar(m)
-    r, _ = _measure_two_point(compiled, state, x, uv, w, NADMM)
+    d = measure_ours(batch=840, nbase=24)
     out = {
-        "peak_patches_per_sec": batch / r["sec_per_admm_iter"],
-        "peak_batch_patches": batch,
-        "peak_sec_per_admm_iter": r["sec_per_admm_iter"],
+        "peak_patches_per_sec": d["patches_per_sec"],
+        "peak_batch_patches": d["batch_patches"],
+        "peak_sec_per_admm_iter": d["sec_per_admm_iter"],
     }
-    if flops:
-        out["peak_mfu"] = flops / r["sec_per_step_call"] / PEAK_FLOPS
+    if d.get("mfu") is not None:
+        out["peak_mfu"] = d["mfu"]
     return out
 
 
@@ -400,45 +388,55 @@ def _mfu_refusal(detail: dict) -> str | None:
     return None
 
 
-class _Watchdog:
-    """SIGALRM guard: a hung relay (observed: trivial jits block >10 min in transient
-    relay-down windows) would otherwise leave the driver's `timeout N python bench.py`
-    with rc=124 and an EMPTY tail — indistinguishable from a broken bench.  The alarm
-    converts the hang into a diagnostic JSON line on stdout before the timeout."""
+def _run_bounded(fn, seconds: float, what: str):
+    """Run ``fn()`` with a hard wall bound that survives a hang inside a blocking
+    C call.
 
-    def __init__(self, seconds: float, what: str):
-        self.seconds = max(int(seconds), 1)
-        self.what = what
+    A hung relay (observed: trivial jits block >10 min in transient relay-down
+    windows) would otherwise leave the driver's `timeout N python bench.py` with
+    rc=124 and an EMPTY tail — indistinguishable from a broken bench.  SIGALRM is
+    not enough: CPython only runs the Python-level handler between bytecodes, so an
+    alarm that fires while the worker is inside one long PJRT/relay call is
+    deferred until that call returns.  Instead the measurement runs in a daemon
+    thread and the main thread waits with a timeout; on expiry it raises
+    TimeoutError while still able to print diagnostics (callers then exit via
+    os._exit so the stuck thread cannot block interpreter shutdown)."""
+    import threading
 
-    def __enter__(self):
-        import signal
+    seconds = max(int(seconds), 1)
+    result: list = [None]
+    error: list = [None]
 
-        def on_alarm(signum, frame):
-            raise TimeoutError(
-                f"{self.what} exceeded {self.seconds}s — relay hung or compiling "
-                f"beyond budget (axon transient-down windows block even trivial jits)"
-            )
+    def work():
+        try:
+            result[0] = fn()
+        except BaseException as e:  # surfaced in the caller's thread
+            error[0] = e
 
-        self._old = signal.signal(signal.SIGALRM, on_alarm)
-        signal.alarm(self.seconds)
-        return self
-
-    def __exit__(self, *exc):
-        import signal
-
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, self._old)
-        return False
+    t = threading.Thread(target=work, daemon=True, name=f"bench-{what[:24]}")
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        raise TimeoutError(
+            f"{what} exceeded {seconds}s — relay hung or compiling beyond budget "
+            f"(axon transient-down windows block even trivial jits)"
+        )
+    if error[0] is not None:
+        raise error[0]
+    return result[0]
 
 
 def main():
     t_start = time.perf_counter()
     budget = _budget()
+    hung = False
     try:
         # leave >=30 s of the driver budget to print diagnostics + any cached info
-        with _Watchdog(budget - 30, "headline measurement (compile + timed steps)"):
-            detail = measure_ours()
+        # (floor of 60 s so a tiny LSHM_BENCH_BUDGET_S can't starve the headline)
+        detail = _run_bounded(measure_ours, max(budget - 30, 60),
+                              "headline measurement (compile + timed steps)")
     except Exception as e:
+        hung = isinstance(e, TimeoutError)
         err = {"metric": "ae_khm_train_patches_per_sec_per_chip",
                "value": None, "unit": "patches/s", "vs_baseline": None,
                "error": repr(e)[:400]}
@@ -451,6 +449,9 @@ def main():
         except (OSError, ValueError):
             pass
         print(json.dumps(err), flush=True)
+        if hung:        # a stuck relay thread would block interpreter shutdown
+            sys.stdout.flush()
+            os._exit(1)
         raise
     refusal = _mfu_refusal(detail)
     if refusal is not None:
@@ -480,10 +481,16 @@ def main():
         try:
             # bound each secondary by the remaining wall budget: a relay hang here
             # must not turn an already-valid headline into a driver rc=124
-            with _Watchdog(budget - elapsed - 15, f"secondary '{name}'"):
-                detail.update(fn())
+            detail.update(_run_bounded(fn, budget - elapsed - 15,
+                                       f"secondary '{name}'"))
         except Exception as e:
             detail[f"{name}_error"] = repr(e)[:200]
+            if isinstance(e, TimeoutError):
+                # the worker thread is stuck in a C call; emit the final line and
+                # leave via os._exit so shutdown can't block on it
+                _emit(headline_pps, detail)
+                sys.stdout.flush()
+                os._exit(0)               # headline is valid: exit clean
         _emit(headline_pps, detail)
 
 

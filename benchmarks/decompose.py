@@ -81,17 +81,10 @@ def time_fn(fn, args, n1: int = 2, n2: int = 8, reps: int = 3,
         n1, n2 = n1 * 4, n2 * 4
         probe = run(n2)
 
-    pairs = [(run(n1), run(n2)) for _ in range(reps)]
-    margs = sorted((d2 - d1) / (n2 - n1) for d1, d2 in pairs)
-    sec = margs[0]
-    noise_fallback = False
-    if sec <= 0:
-        # same guard as bench._two_point_marginal: one inflated run(n1) on a noisy
-        # relay makes a marginal negative; fall back to the median, then to the raw
-        # per-call upper bound (strictly positive)
-        med = margs[len(margs) // 2]
-        sec = med if med > 0 else min(d2 for _, d2 in pairs) / n2
-        noise_fallback = True
+    # single implementation of the marginal fit + noise fallback (bench.py owns it)
+    sec, _, n2, noise_fallback = bench._two_point_marginal(
+        run, n1, n2, reps, min_window=min_window
+    )
     r = {"sec_per_call": sec, "flops": flops, "n1": n1, "n2": n2}
     if noise_fallback:
         r["noise_fallback"] = True

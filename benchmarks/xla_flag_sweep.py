@@ -53,7 +53,10 @@ def run_one(name: str, flags: str, timeout_s: int = 900) -> dict:
         row: dict = {"name": name, "flags": flags, "rc": r.returncode,
                      "wall_s": round(time.time() - t0, 1)}
         if r.returncode == 0 and tail:
-            row.update(json.loads(tail[-1]))
+            try:
+                row.update(json.loads(tail[-1]))
+            except ValueError:            # non-JSON trailing line: record, don't abort
+                row["stdout_tail"] = tail[-1][-300:]
         else:
             row["stderr_tail"] = (r.stderr or "")[-300:]
         return row

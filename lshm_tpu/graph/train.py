@@ -114,19 +114,18 @@ def build_station_graph_data(
         sel = np.array([int(rng.integers(0, ppb)) for _ in ids])
         rows = np.arange(len(ids)) * ppb + sel
         xsel, uvsel = patches[rows], uv[rows]
-        # conjugate latents are only consumed by cross-correlation edges (the reverse
-        # edge direction) — autocorrelation rows would be wasted forwards
-        cross = np.array(
-            [i for i in range(len(ids)) if int(pairs[i][0]) != int(pairs[i][1])],
-            dtype=np.int64,
-        )
+        # conjugate latents are only consumed by cross-correlation edges (the
+        # reverse edge direction); autocorrelation conjugate rows are wasted
+        # forwards, but skipping them would make the batch shape vary with the
+        # per-chunk autocorrelation count — every distinct shape is a fresh XLA
+        # compile (minutes on the relay), which costs far more than the <=n_stat
+        # spare rows per SAP. Keep the shape fixed at 2*len(ids).
         Mu_all = latents_of(
-            np.concatenate([xsel, conjugate_channels(xsel[cross])]),
-            np.concatenate([uvsel, uvsel[cross]]),
+            np.concatenate([xsel, conjugate_channels(xsel)]),
+            np.concatenate([uvsel, uvsel]),
         )
         Mu_sel = Mu_all[: len(ids)]
-        Mu_conj = np.zeros_like(Mu_sel)
-        Mu_conj[cross] = Mu_all[len(ids):]
+        Mu_conj = Mu_all[len(ids):]
         if node_attr is None:
             D = Mu_sel.shape[-1]
             node_attr = np.zeros((n_stat, D), np.float32)

@@ -86,7 +86,16 @@ _DN_1D = ("NWC", "WIO", "NWC")
 @jax.custom_vjp
 def conv1d_s4(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """kernel=4, stride=4, padding=(1,1) 1D conv (torch Conv1d(k=4,s=4,p=1)
-    geometry) with a packed-view backward (see module comment)."""
+    geometry) with a packed-view backward (see module comment).
+
+    Requires the sequence length to be a multiple of 4: the backward reshapes x to
+    its packed [N, L/4, 4C] view (the forward alone would accept any L >= 2, but a
+    silent forward + backward crash is worse than failing here)."""
+    if x.shape[1] % 4:
+        raise ValueError(
+            f"conv1d_s4 needs a length divisible by 4 for its packed-view backward; "
+            f"got L={x.shape[1]}"
+        )
     return lax.conv_general_dilated(x, w, (4,), ((1, 1),), dimension_numbers=_DN_1D)
 
 
