@@ -125,6 +125,27 @@ def test_emit_records_last_good_and_error_path_surfaces_it(tmp_path, monkeypatch
     assert err["last_good_run"]["line"]["value"] == 1234.5
 
 
+def test_run_bounded_converts_hangs_and_propagates():
+    """_run_bounded: a hang becomes TimeoutError even though the worker never
+    returns (SIGALRM could not do this from inside a blocking C call); results and
+    exceptions pass through unchanged."""
+    import time as _time
+
+    import bench
+    import pytest as _pytest
+
+    assert bench._run_bounded(lambda: 42, 5, "ok") == 42
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        bench._run_bounded(lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+                           5, "err")
+
+    t0 = _time.perf_counter()
+    with _pytest.raises(TimeoutError, match="hang"):
+        bench._run_bounded(lambda: _time.sleep(30), 1, "hang")
+    assert _time.perf_counter() - t0 < 5    # did not wait for the worker
+
+
 def test_main_runs_all_secondaries_and_budget_skips(tmp_path, monkeypatch, capsys):
     """main() enriches the headline with every secondary inside the budget, and
     surfaces '<name>_skipped' markers (still rc=0) when the budget is exhausted —
