@@ -4,6 +4,7 @@ from lshm_tpu.data.h5io import (
     read_baseline_channels,
     read_baseline_flat,
     read_baseline_patches,
+    read_baselines_patches_batch,
     compute_uv,
 )
 from lshm_tpu.data.patches import patchify, patch_grid_shape
@@ -16,6 +17,7 @@ __all__ = [
     "read_baseline_channels",
     "read_baseline_flat",
     "read_baseline_patches",
+    "read_baselines_patches_batch",
     "compute_uv",
     "patchify",
     "patch_grid_shape",

@@ -4,7 +4,7 @@ from lshm_tpu.models.autoencoders import (
     uv_harmonic_features,
 )
 from lshm_tpu.models.khm import KHarmonicMeans
-from lshm_tpu.models.cascade import CascadedAE, CascadeOutputs
+from lshm_tpu.models.cascade import CascadedAE, CascadeOutputs, fft2_shifted
 
 __all__ = [
     "AutoEncoder2D",
@@ -13,4 +13,5 @@ __all__ = [
     "KHarmonicMeans",
     "CascadedAE",
     "CascadeOutputs",
+    "fft2_shifted",
 ]
