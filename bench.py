@@ -439,7 +439,10 @@ def main():
         hung = isinstance(e, TimeoutError)
         err = {"metric": "ae_khm_train_patches_per_sec_per_chip",
                "value": None, "unit": "patches/s", "vs_baseline": None,
-               "error": repr(e)[:400]}
+               "error": repr(e)[:400],
+               "note": "relay outages block all TPU compiles for hours at a time; "
+                       "the dated honest measurements live in README.md#performance "
+                       "and benchmarks/PERF_NOTES.md"}
         # surface the last successful measurement for context — value stays None
         # (an old number is NOT this run's result), but a transient relay outage
         # should not erase all evidence that the bench works
