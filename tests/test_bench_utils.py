@@ -125,6 +125,34 @@ def test_emit_records_last_good_and_error_path_surfaces_it(tmp_path, monkeypatch
     assert err["last_good_run"]["line"]["value"] == 1234.5
 
 
+def test_flag_sweep_run_one_records_rows(monkeypatch):
+    """xla_flag_sweep.run_one: parses the last stdout JSON line on success, records
+    non-JSON tails and failures as rows instead of raising."""
+    import types
+
+    import xla_flag_sweep as sweep
+
+    def fake_run(cmd, **kw):
+        return types.SimpleNamespace(returncode=0, stderr="",
+                                     stdout='noise\n{"patches_per_sec": 123.0}\n')
+
+    monkeypatch.setattr(sweep.subprocess, "run", fake_run)
+    row = sweep.run_one("t", "--some-flag=1")
+    assert row["patches_per_sec"] == 123.0 and row["rc"] == 0
+
+    monkeypatch.setattr(sweep.subprocess, "run",
+                        lambda cmd, **kw: types.SimpleNamespace(
+                            returncode=0, stderr="", stdout="not json at all\n"))
+    row = sweep.run_one("t2", "")
+    assert "stdout_tail" in row and "patches_per_sec" not in row
+
+    monkeypatch.setattr(sweep.subprocess, "run",
+                        lambda cmd, **kw: types.SimpleNamespace(
+                            returncode=2, stderr="bad flag", stdout=""))
+    row = sweep.run_one("t3", "--bogus")
+    assert row["rc"] == 2 and row["stderr_tail"] == "bad flag"
+
+
 def test_run_bounded_converts_hangs_and_propagates():
     """_run_bounded: a hang becomes TimeoutError even though the worker never
     returns (SIGALRM could not do this from inside a blocking C call); results and
