@@ -92,7 +92,9 @@ def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",
     cfg = Config(
         data=DataConfig(batch_size=nbase, patch_size=128),
         model=ModelConfig(latent_dim=224, latent_dim_1d=16, num_clusters=10, rica=True,
-                          khm_backend="xla", compute_dtype=compute_dtype),
+                          khm_backend="xla", compute_dtype=compute_dtype,
+                          packed_conv2d=int(os.environ.get(
+                              "LSHM_BENCH_PACKED", ModelConfig.packed_conv2d))),
         optim=OptimConfig(
             optimizer=optimizer, adam_lr=1e-4,
             lbfgs=LBFGSConfig(history_size=7, max_iter=4, line_search=True,

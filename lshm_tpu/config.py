@@ -83,6 +83,16 @@ class ModelConfig:
     # showed 1.5-2.4x backward wins; composed with the surrounding bias/ELU/cotangent
     # fusions XLA's native conv lowering is better.
     fast_conv1d: bool = False
+    # Space-to-depth packed rewrite of the 2D AE's outermost stride-2 conv stages
+    # (encoder conv0..conv{n-1}, decoder tconv{6-n}..tconv5): exact math, identical
+    # param tree (lshm_tpu/models/autoencoders.py::conv2d_s2_packed).  The k=4, s=2,
+    # p=1 geometry packs with zero tap duplication, so the full-resolution layers —
+    # where the step's HBM traffic lives — run with 4x the channel (lane) width.
+    # DEFAULT OFF — measured composed-step NEGATIVE on TPU v5e (2026-08-18,
+    # bf16_full flagship batch 420): depths 1/2/3 all ~12-13% below the depth-0
+    # control (36.5/36.0/35.8k vs 41.3k patches/s) — the s2d/d2s copies break more
+    # fusion than the lane packing wins (benchmarks/packed_conv2d_report.json).
+    packed_conv2d: int = 0
     # legacy pipeline (reference Demo.ipynb): second 2D AE on the FFT of the residual
     # instead of the two 1D AEs.
     fourier_variant: bool = False

@@ -171,6 +171,117 @@ class FastConvT1dS4(nn.Module):
             + _cast(bias, self.dtype)
 
 
+# ----------------------------------------------------------------------------------
+# space-to-depth packed rewrites of the 2D stride-2 convolutions (TPU)
+#
+# The 2D AE's conv ladder starts at 4-8 channels (reference: src/lofar_models.py:31-41)
+# — on the 128-lane MXU/VPU a channels-last conv with C=4 uses 4/128 lanes for every
+# input tile it streams.  Both stage shapes here are *perfectly aligned* for 2x2
+# space-to-depth packing (unlike the 1D k=s=4, p=1 case, where packing doubles the
+# tap count — see the negative result above):
+#
+# * encoder Conv(k=4, s=2, p=1): with the input padded by 1, output (i, j) reads
+#   padded rows 2i..2i+3 = exactly two 2-row blocks -> a k=2, s=1 VALID conv over the
+#   [H/2+1, W/2+1, 4C] packed view.  Same 64 taps per (c, f), zero extra FLOPs,
+#   4x the lane occupancy.
+# * decoder ConvTranspose(k=4, s=2, p=1 torch geometry): the four output phases
+#   (a, b) in {0,1}^2 are each a k=2 conv of the input — one k=2, s=1 VALID conv over
+#   the padded input producing 4F phase-packed channels, then a shifted
+#   depth-to-space gather out[2i+a, 2j+b, f] = y[i+a, j+b, (a,b,f)].  Again
+#   tap-for-tap identical.
+#
+# No custom_vjp anywhere: the rewrite changes the forward expression itself, so XLA
+# differentiates the packed ops natively (stride-1 gradients, no window dilation) and
+# keeps fusing across them.  The s2d/d2s transposes are elementwise-bandwidth copies
+# at the layer's own resolution; under the unrolled ADMM loop the input-side s2d is
+# iteration-invariant and CSE'd to once per step.
+#
+# STATUS: DOCUMENTED NEGATIVE RESULT — kept parity-tested but DEFAULT OFF
+# (ModelConfig.packed_conv2d = 0).  Composed flagship step on TPU v5e
+# (2026-08-18, bf16_full, batch 420, two-point timing, same-session control;
+# benchmarks/packed_conv2d_report.json): depth 0 = 41.3k patches/s, depth 1 =
+# 36.5k, depth 2 = 36.0k, depth 3 = 35.8k — a uniform ~12-13% regression.  Even
+# with zero tap duplication and no custom_vjp boundary, the s2d/d2s
+# reshape-transposes break XLA's conv/ELU/cotangent fusion chains and cost more
+# than the 4x lane occupancy wins back.  Third composed-step loss for a layout
+# rewrite in this model (grouped 1D fusion, packed-view 1D backward, now 2D s2d):
+# XLA's native thin-channel conv lowering on this hardware is simply good.
+# ----------------------------------------------------------------------------------
+
+
+def conv2d_s2_packed(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Conv2d(k=4, s=2, p=1) on NHWC ``x`` with HWIO kernel ``w`` via 2x2
+    space-to-depth: exact same math as the strided conv (parity-tested)."""
+    n, h, ww, c = x.shape
+    f = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # [N, H+2, W+2, C] -> [N, (H+2)/2, (W+2)/2, 4C]; packed channel = (a*2 + b)*C + c
+    xp = xp.reshape(n, (h + 2) // 2, 2, (ww + 2) // 2, 2, c)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, (h + 2) // 2, (ww + 2) // 2, 4 * c)
+    # kernel [4,4,C,F] -> [2,2,4C,F]: wp[p,q,(a,b,c),f] = w[2p+a, 2q+b, c, f]
+    wp = w.reshape(2, 2, 2, 2, c, f).transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * c, f)
+    return lax.conv_general_dilated(
+        xp, wp, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def convt2d_s2_packed(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose2d(k=4, s=2, p=1 torch geometry; flax ConvTranspose((4,4),
+    strides=(2,2), padding=((2,2),(2,2))) semantics, kernel unflipped) via phase
+    packing: one k=2, s=1 VALID conv emitting all four output phases as channels,
+    then a shifted depth-to-space.  Exact same math (parity-tested)."""
+    n, h, ww, c = x.shape
+    f = w.shape[-1]
+    # out[2i+a, 2j+b, f] = sum_{p,q} w[2p+a, 2q+b] . xpad[i+p, j+q]  (xpad = pad 1)
+    wy = w.reshape(2, 2, 2, 2, c, f).transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, c, 4 * f)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, wy, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )                                                     # [N, h+1, w+1, 4F]
+    rows = []
+    for a in (0, 1):
+        cols = [y[:, a:a + h, b:b + ww, (2 * a + b) * f:(2 * a + b + 1) * f]
+                for b in (0, 1)]
+        rows.append(jnp.stack(cols, axis=3))              # [N, h, w, 2, F]
+    z = jnp.stack(rows, axis=2)                           # [N, h, 2, w, 2, F]
+    return z.reshape(n, 2 * h, 2 * ww, f)
+
+
+class PackedConv2dS2(nn.Module):
+    """Drop-in for ``nn.Conv(features, (4,4), strides=(2,2), padding=((1,1),(1,1)))``
+    computed space-to-depth packed.  Identical param tree (kernel/bias, same shapes
+    and default inits), so checkpoints and the torch importer are unaffected."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return conv2d_s2_packed(_cast(x, self.dtype), _cast(kernel, self.dtype)) \
+            + _cast(bias, self.dtype)
+
+
+class PackedConvT2dS2(nn.Module):
+    """Drop-in for ``nn.ConvTranspose(features, (4,4), strides=(2,2),
+    padding=((2,2),(2,2)))`` computed phase-packed.  Identical param tree."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return convt2d_s2_packed(_cast(x, self.dtype), _cast(kernel, self.dtype)) \
+            + _cast(bias, self.dtype)
+
+
 def uv_harmonic_features(uv: jnp.ndarray, scales: Sequence[float]) -> jnp.ndarray:
     """Kron-harmonic embedding of (u, v): [N, 2] -> [N, 4 * len(scales)].
 
@@ -191,25 +302,37 @@ class AutoEncoder2D(nn.Module):
     harmonic_scales: Sequence[float] = (1e-4, 1e-3, 1e-2, 1e-1)
     rica: bool = True
     dtype: jnp.dtype = jnp.float32
+    # number of outermost (full-resolution) conv stages computed space-to-depth
+    # packed: encoder conv0..conv{packed-1} and decoder tconv{6-packed}..tconv5.
+    # Exact math, identical param tree (see conv2d_s2_packed above).
+    packed: int = 0
 
     @property
     def harmonic_dim(self) -> int:
         return len(self.harmonic_scales) * 4
 
     def setup(self):
-        conv = lambda f, name: nn.Conv(
-            f, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), name=name,
-            dtype=self.dtype,
+        nconv = len(CHANNEL_LADDER)
+        conv = lambda i, f, name: (
+            PackedConv2dS2(f, name=name, dtype=self.dtype) if i < self.packed
+            else nn.Conv(
+                f, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), name=name,
+                dtype=self.dtype,
+            )
         )
         # lax.conv_transpose pads the *dilated* input: pad = k - 1 - p_equivalent,
         # so (2, 2) here gives out = 2 * in (torch ConvTranspose2d(4, s=2, p=1) geometry)
-        tconv = lambda f, name: nn.ConvTranspose(
-            f, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)), name=name,
-            dtype=self.dtype,
+        tconv = lambda i, f, name: (
+            PackedConvT2dS2(f, name=name, dtype=self.dtype)
+            if i >= nconv - self.packed
+            else nn.ConvTranspose(
+                f, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)), name=name,
+                dtype=self.dtype,
+            )
         )
-        self.enc = [conv(f, f"conv{i}") for i, f in enumerate(CHANNEL_LADDER)]
+        self.enc = [conv(i, f, f"conv{i}") for i, f in enumerate(CHANNEL_LADDER)]
         dec_ladder = CHANNEL_LADDER[-2::-1] + (self.channels,)
-        self.dec = [tconv(f, f"tconv{i}") for i, f in enumerate(dec_ladder)]
+        self.dec = [tconv(i, f, f"tconv{i}") for i, f in enumerate(dec_ladder)]
         self.fcuv1 = nn.Dense(self.harmonic_dim, dtype=self.dtype)
         self.fcuv3 = nn.Dense(self.harmonic_dim, dtype=self.dtype)
         self.fc1 = nn.Dense(self.latent_dim, dtype=self.dtype)

@@ -106,6 +106,7 @@ class CascadedAE(nn.Module):
             harmonic_scales=c.harmonic_scales,
             rica=c.rica,
             dtype=dtype,
+            packed=c.packed_conv2d,
             name="ae2d",
         )
         if c.fourier_variant:
@@ -115,6 +116,7 @@ class CascadedAE(nn.Module):
                 harmonic_scales=c.harmonic_scales,
                 rica=c.rica,
                 dtype=dtype,
+                packed=c.packed_conv2d,
                 name="aef",
             )
         else:

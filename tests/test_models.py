@@ -226,3 +226,63 @@ def test_fast_conv1d_rewrites_match_flax():
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         scale = float(jnp.max(jnp.abs(a))) + 1e-30
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
+
+
+def test_packed_conv2d_ops_match_flax():
+    """The space-to-depth packed ops (conv2d_s2_packed / convt2d_s2_packed) must be
+    bit-level-equivalent (to float tolerance) to the strided flax ops they rewrite."""
+    import numpy as np
+    from flax import linen as nn
+
+    from lshm_tpu.models.autoencoders import conv2d_s2_packed, convt2d_s2_packed
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 16, 16, 4))
+    conv = nn.Conv(8, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))
+    p = conv.init(jax.random.PRNGKey(1), x)
+    ref = conv.apply(p, x)
+    got = conv2d_s2_packed(x, p["params"]["kernel"]) + p["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    z = jax.random.normal(jax.random.fold_in(key, 2), (3, 8, 8, 6))
+    tconv = nn.ConvTranspose(4, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)))
+    pt = tconv.init(jax.random.PRNGKey(3), z)
+    reft = tconv.apply(pt, z)
+    gott = convt2d_s2_packed(z, pt["params"]["kernel"]) + pt["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(gott), np.asarray(reft), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv2d_ae_matches_flax():
+    """AutoEncoder2D with packed=n (ModelConfig.packed_conv2d) must have the same
+    param tree, forward, and gradients as the strided default, for every depth."""
+    import numpy as np
+
+    from lshm_tpu.models.autoencoders import AutoEncoder2D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 4))
+    uv = jax.random.normal(jax.random.PRNGKey(1), (2, 2))
+    base = AutoEncoder2D(latent_dim=32, packed=0)
+    p = base.init(jax.random.PRNGKey(2), x, uv)
+    ya, mua = base.apply(p, x, uv)
+
+    for depth in (1, 2, 6):
+        packed = AutoEncoder2D(latent_dim=32, packed=depth)
+        p2 = packed.init(jax.random.PRNGKey(2), x, uv)
+        assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        yb, mub = packed.apply(p, x, uv)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"packed={depth}")
+        np.testing.assert_allclose(np.asarray(mua), np.asarray(mub),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"packed={depth}")
+
+    def loss(params, mod):
+        y, mu = mod.apply(params, x, uv)
+        return jnp.sum(y * y) + jnp.sum(mu)
+
+    ga = jax.grad(loss)(p, base)
+    gb = jax.grad(loss)(p, AutoEncoder2D(latent_dim=32, packed=2))
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
