@@ -20,6 +20,7 @@ so XLA tiles every conv onto the MXU.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -30,6 +31,35 @@ from jax import lax
 # channel ladder of the 6 conv stages (reference: src/lofar_models.py:31-41)
 CHANNEL_LADDER = (8, 12, 24, 48, 96, 192)
 BOTTLENECK = 192 * 2 * 2  # 768
+
+
+@jax.custom_jvp
+def elu(x: jnp.ndarray) -> jnp.ndarray:
+    """ELU (alpha=1) with an analytic derivative — same values and gradients as
+    ``jax.nn.elu`` (parity-tested incl. grads), cheaper XLA graph on TPU.
+
+    ``jax.nn.elu`` guards its negative branch with an inner ``where(x > 0, 0, x)``
+    so that *autodiff* of ``expm1`` cannot produce inf*0 NaNs; on TPU v5e that
+    guard showed up as standalone ~0.7 ms kLoop select fusions in the op profile
+    (2026-08-18).  The custom JVP supplies the NaN-free derivative
+    ``where(x > 0, 1, exp(min(x, 0)))`` directly, so neither forward nor backward
+    needs the guard.  Composed-step A/B (bf16_full, batch 420, same-session
+    control): 41.5k vs 41.2k patches/s — ~neutral (+0.7%, within noise; XLA was
+    already hiding most of the select cost), kept for the smaller HLO
+    (cost_analysis flops 621.7 vs 627.3 GFLOP/step) and exact parity."""
+    return jnp.where(x > 0, x, jnp.expm1(x))
+
+
+@elu.defjvp
+def _elu_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    # exp(min(x, 0)) keeps the untaken positive lanes finite (debug_nans-clean);
+    # the tangent expression stays linear in t so reverse mode transposes exactly.
+    return elu(x), jnp.where(x > 0, t, jnp.exp(jnp.minimum(x, 0.0)) * t)
+
+
+if os.environ.get("LSHM_CUSTOM_ELU", "1") == "0":   # A/B escape hatch (bench subprocs)
+    elu = jax.nn.elu  # noqa: F811
 
 
 # ----------------------------------------------------------------------------------
@@ -343,17 +373,17 @@ class AutoEncoder2D(nn.Module):
 
     def encode(self, x: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
         for c in self.enc:
-            x = nn.elu(c(x))
+            x = elu(c(x))
         x = x.reshape(x.shape[0], -1)                       # [N, 768] (h, w, c order)
-        u = nn.elu(self.fcuv1(uvf))
-        return nn.elu(self.fc1(jnp.concatenate([x, u], axis=-1)))
+        u = elu(self.fcuv1(uvf))
+        return elu(self.fc1(jnp.concatenate([x, u], axis=-1)))
 
     def decode(self, z: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
-        u = nn.elu(self.fcuv3(uvf))
+        u = elu(self.fcuv3(uvf))
         x = self.fc3(jnp.concatenate([z, u], axis=-1))      # no activation (ref :91)
         x = x.reshape(x.shape[0], 2, 2, CHANNEL_LADDER[-1])
         for t in self.dec[:-1]:
-            x = nn.elu(t(x))
+            x = elu(t(x))
         return self.dec[-1](x)                              # linear output stage
 
     def __call__(self, x: jnp.ndarray, uv: jnp.ndarray):
@@ -363,8 +393,8 @@ class AutoEncoder2D(nn.Module):
         mu = self.encode(x, uvf)
         if not self.rica:
             return self.decode(mu, uvf), mu
-        mu = nn.elu(self.fc2in(mu))
-        muprime = nn.elu(self.fc2out(mu))
+        mu = elu(self.fc2in(mu))
+        muprime = elu(self.fc2out(mu))
         return self.decode(muprime, uvf), mu
 
 
@@ -412,15 +442,15 @@ def fused_dual_ae1d(paramsT, paramsF, sT, sF, uvf, *, rica: bool, dtype=jnp.floa
     nconv = len(CHANNEL_LADDER)
     h = jnp.concatenate([_cast(sT, dtype), _cast(sF, dtype)], axis=-1)
     for i in range(nconv):
-        h = nn.elu(_grouped_conv1d(h, paramsT[f"conv{i}"], paramsF[f"conv{i}"],
+        h = elu(_grouped_conv1d(h, paramsT[f"conv{i}"], paramsF[f"conv{i}"],
                                    dtype, stride=4, pad=(1, 1)))
     top = CHANNEL_LADDER[-1]
     flatT = h[..., :top].reshape(n, -1)          # [N, 768], position-major like flax
     flatF = h[..., top:].reshape(n, -1)
 
     def encode_head(p, flat):
-        u = nn.elu(_dense(p["fcuv1"], uvf, dtype))
-        return nn.elu(_dense(p["fc1"], jnp.concatenate([flat, u], axis=-1), dtype))
+        u = elu(_dense(p["fcuv1"], uvf, dtype))
+        return elu(_dense(p["fc1"], jnp.concatenate([flat, u], axis=-1), dtype))
 
     muT = encode_head(paramsT, flatT)
     muF = encode_head(paramsF, flatF)
@@ -428,20 +458,20 @@ def fused_dual_ae1d(paramsT, paramsF, sT, sF, uvf, *, rica: bool, dtype=jnp.floa
     def sparse_and_z(p, mu):
         if not rica:
             return mu, mu
-        sparse = nn.elu(_dense(p["fc2in"], mu, dtype))
-        return sparse, nn.elu(_dense(p["fc2out"], sparse, dtype))
+        sparse = elu(_dense(p["fc2in"], mu, dtype))
+        return sparse, elu(_dense(p["fc2out"], sparse, dtype))
 
     muT, zT = sparse_and_z(paramsT, muT)
     muF, zF = sparse_and_z(paramsF, muF)
 
     def decode_head(p, z):
-        u = nn.elu(_dense(p["fcuv3"], uvf, dtype))
+        u = elu(_dense(p["fcuv3"], uvf, dtype))
         x = _dense(p["fc3"], jnp.concatenate([z, u], axis=-1), dtype)
         return x.reshape(n, BOTTLENECK // top, top)          # [N, 4, 192]
 
     h = jnp.concatenate([decode_head(paramsT, zT), decode_head(paramsF, zF)], axis=-1)
     for i in range(nconv - 1):
-        h = nn.elu(_grouped_conv1d(h, paramsT[f"tconv{i}"], paramsF[f"tconv{i}"],
+        h = elu(_grouped_conv1d(h, paramsT[f"tconv{i}"], paramsF[f"tconv{i}"],
                                    dtype, lhs_dilation=4, pad=(3, 3)))
     h = _grouped_conv1d(h, paramsT[f"tconv{nconv - 1}"], paramsF[f"tconv{nconv - 1}"],
                         dtype, lhs_dilation=4, pad=(3, 3))   # linear output stage
@@ -493,17 +523,17 @@ class AutoEncoder1D(nn.Module):
 
     def encode(self, x: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
         for c in self.enc:
-            x = nn.elu(c(x))
+            x = elu(c(x))
         x = x.reshape(x.shape[0], -1)                       # [N, 768]
-        u = nn.elu(self.fcuv1(uvf))
-        return nn.elu(self.fc1(jnp.concatenate([x, u], axis=-1)))
+        u = elu(self.fcuv1(uvf))
+        return elu(self.fc1(jnp.concatenate([x, u], axis=-1)))
 
     def decode(self, z: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
-        u = nn.elu(self.fcuv3(uvf))
+        u = elu(self.fcuv3(uvf))
         x = self.fc3(jnp.concatenate([z, u], axis=-1))
         x = x.reshape(x.shape[0], 4, CHANNEL_LADDER[-1])    # 2^2 = 4 positions
         for t in self.dec[:-1]:
-            x = nn.elu(t(x))
+            x = elu(t(x))
         return self.dec[-1](x)
 
     def __call__(self, x: jnp.ndarray, uv: jnp.ndarray):
@@ -511,6 +541,6 @@ class AutoEncoder1D(nn.Module):
         mu = self.encode(x, uvf)
         if not self.rica:
             return self.decode(mu, uvf), mu
-        mu = nn.elu(self.fc2in(mu))
-        muprime = nn.elu(self.fc2out(mu))
+        mu = elu(self.fc2in(mu))
+        muprime = elu(self.fc2out(mu))
         return self.decode(muprime, uvf), mu

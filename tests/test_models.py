@@ -286,3 +286,24 @@ def test_packed_conv2d_ae_matches_flax():
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         scale = float(jnp.max(jnp.abs(a))) + 1e-30
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
+
+
+def test_custom_elu_matches_jax_nn_elu():
+    """The custom-JVP ELU (standalone select fusions removed on TPU) must match
+    jax.nn.elu in values and gradients, including at extreme inputs."""
+    import numpy as np
+
+    from lshm_tpu.models.autoencoders import elu
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4096).astype(np.float32) * 10)
+    np.testing.assert_array_equal(np.asarray(elu(x)), np.asarray(jax.nn.elu(x)))
+
+    f = lambda e: lambda v: jnp.sum(e(v) * jnp.sin(v))   # non-trivial cotangent
+    ga = jax.grad(f(elu))(x)
+    gb = jax.grad(f(jax.nn.elu))(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6, atol=1e-6)
+
+    xe = jnp.asarray([1e30, -1e30, 0.0, 700.0, -700.0], jnp.float32)
+    ve, ge = elu(xe), jax.grad(lambda v: jnp.sum(elu(v)))(xe)
+    assert np.all(np.isfinite(np.asarray(ve))) and np.all(np.isfinite(np.asarray(ge)))
+    np.testing.assert_array_equal(np.asarray(ge), np.asarray([1, 0, 1, 1, 0], np.float32))
