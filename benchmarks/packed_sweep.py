@@ -54,7 +54,11 @@ def main():
                 "final_loss": d["final_loss"],
             }
             if d.get("mfu") and d["mfu"] > 1.0:
-                row["REFUSED"] = "implied MFU > 1 — measurement bug"
+                # the numbers are by definition bogus — do not let them leak into
+                # anything reading the report downstream
+                row = {"packed": depth,
+                       "REFUSED": "implied MFU > 1 — measurement bug",
+                       "refused_mfu": d["mfu"]}
         except Exception as e:  # noqa: BLE001 — record the failure row and continue
             row = {"packed": depth, "error": repr(e)[:300]}
         row["wall_sec"] = round(time.perf_counter() - t0, 1)
@@ -62,6 +66,7 @@ def main():
         with open(REPORT, "w") as f:
             json.dump(report, f, indent=1)
         print(json.dumps(row), flush=True)
+    os.environ.pop("LSHM_BENCH_PACKED", None)   # never leak into a later bench run
 
 
 if __name__ == "__main__":

@@ -443,7 +443,7 @@ def fused_dual_ae1d(paramsT, paramsF, sT, sF, uvf, *, rica: bool, dtype=jnp.floa
     h = jnp.concatenate([_cast(sT, dtype), _cast(sF, dtype)], axis=-1)
     for i in range(nconv):
         h = elu(_grouped_conv1d(h, paramsT[f"conv{i}"], paramsF[f"conv{i}"],
-                                   dtype, stride=4, pad=(1, 1)))
+                                dtype, stride=4, pad=(1, 1)))
     top = CHANNEL_LADDER[-1]
     flatT = h[..., :top].reshape(n, -1)          # [N, 768], position-major like flax
     flatF = h[..., top:].reshape(n, -1)
@@ -472,7 +472,7 @@ def fused_dual_ae1d(paramsT, paramsF, sT, sF, uvf, *, rica: bool, dtype=jnp.floa
     h = jnp.concatenate([decode_head(paramsT, zT), decode_head(paramsF, zF)], axis=-1)
     for i in range(nconv - 1):
         h = elu(_grouped_conv1d(h, paramsT[f"tconv{i}"], paramsF[f"tconv{i}"],
-                                   dtype, lhs_dilation=4, pad=(3, 3)))
+                                dtype, lhs_dilation=4, pad=(3, 3)))
     h = _grouped_conv1d(h, paramsT[f"tconv{nconv - 1}"], paramsF[f"tconv{nconv - 1}"],
                         dtype, lhs_dilation=4, pad=(3, 3))   # linear output stage
     C = sT.shape[-1]
