@@ -212,6 +212,48 @@ def cmd_graph(args):
               f"loss {losses[0]:.5f} -> {losses[-1]:.5f}")
 
 
+def cmd_rica(args):
+    """RICA linear dictionary learning over spectrogram patches — the CLI form of the
+    reference's rica_lofar.py script (reference: src/rica_lofar.py:44-104): alternate
+    (a) an L-BFGS sparse-code solve for X = A S and (b) a dictionary ascent step, then
+    render the learned atoms as one PNG grid."""
+    import os
+
+    import jax
+
+    from lshm_tpu.config import DataConfig, LBFGSConfig
+    from lshm_tpu.data import scan_files
+    from lshm_tpu.data.sampler import MinibatchSampler
+    from lshm_tpu.rica import RICAConfig, RICADictionaryLearner
+
+    files, saps = scan_files(args.data_dir)
+    if not files:
+        sys.exit(f"no valid H5 data under {args.data_dir!r}")
+    dcfg = DataConfig(
+        data_dir=args.data_dir, batch_size=args.batch, patch_size=args.patch_size,
+        num_channels=args.channels, uvdist=False,
+    )
+    sampler = MinibatchSampler(files, saps, dcfg, seed=args.seed)
+    cfg = RICAConfig(
+        input_dim=args.channels * args.patch_size * args.patch_size,
+        dict_size=args.dict_size, l1_weight=args.l1, dict_lr=args.eta,
+        solver=LBFGSConfig(lr=1.0, max_iter=args.solver_iters, history_size=7,
+                           line_search=True, batch_mode=True),
+    )
+    learner = RICADictionaryLearner(cfg, seed=args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    for i in range(args.iters):
+        mb = sampler.sample()
+        X = learner.patches_to_columns(mb.x)
+        key, sub = jax.random.split(key)
+        m = learner.fit_minibatch(X, sub)
+        print(f"rica {i} loss {m['loss']:.6e} |dA| {m['dA_norm']:.6e}")
+    os.makedirs(args.out, exist_ok=True)
+    learner.save_atom_images(args.out, channels=args.channels, patch=args.patch_size)
+    print(f"wrote {os.path.join(args.out, 'dictionary_atoms.png')} "
+          f"({cfg.dict_size} atoms)")
+
+
 def cmd_export(args):
     """Serialize the trained forward (params baked in) to a portable StableHLO
     artifact any JAX process can deserialize and call without model code."""
@@ -355,6 +397,23 @@ def main(argv=None):
     p.add_argument("--nfreq", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("rica", help="learn a RICA sparse dictionary over patches")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--out", default="rica_out")
+    p.add_argument("--iters", type=int, default=10,
+                   help="minibatches (reference runs 80 epochs x 100 iters)")
+    p.add_argument("--batch", type=int, default=8, help="baselines per minibatch "
+                   "(reference default_batch=128, src/rica_lofar.py:23)")
+    p.add_argument("--patch-size", type=int, default=128)
+    p.add_argument("--channels", type=int, default=4)
+    p.add_argument("--dict-size", type=int, default=256, metavar="M")
+    p.add_argument("--l1", type=float, default=0.1, help="lambda1 sparsity weight")
+    p.add_argument("--eta", type=float, default=0.1, help="dictionary ascent rate")
+    p.add_argument("--solver-iters", type=int, default=10,
+                   help="L-BFGS max_iter per sparse-code solve")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_rica)
 
     p = sub.add_parser("export", help="serialize the trained forward to StableHLO")
     p.add_argument("--ckpt", required=True)

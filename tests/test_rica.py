@@ -47,6 +47,22 @@ def test_rica_induced_norm_mode():
     assert np.isfinite(m["loss"])
 
 
+def test_rica_cli_smoke(synth_h5_dir, tmp_path, capsys):
+    """End-to-end `lshm_tpu.cli rica`: sample from the synthetic SAP, fit a tiny
+    dictionary, write the atom grid (reference: src/rica_lofar.py:44-104)."""
+    from lshm_tpu.cli import main
+
+    out = tmp_path / "rica_out"
+    main([
+        "rica", "--data-dir", synth_h5_dir, "--out", str(out),
+        "--iters", "2", "--batch", "2", "--patch-size", "32", "--dict-size", "4",
+        "--solver-iters", "2",
+    ])
+    assert (out / "dictionary_atoms.png").exists()
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any(line.startswith("rica 1 loss ") for line in lines)
+
+
 def test_patch_column_roundtrip_and_atoms(tmp_path):
     rng = np.random.default_rng(2)
     patches = rng.normal(size=(6, 8, 8, 4)).astype(np.float32)
