@@ -60,6 +60,43 @@ def default_augment(rng: np.random.Generator, patches: np.ndarray) -> np.ndarray
     return np.ascontiguousarray(out)
 
 
+class _SignatureRng:
+    """Forwarding proxy around ``np.random.Generator`` that records the call signature
+    (method name + stream-consumption-relevant args) of every draw.
+
+    ``skip()`` replays the rng stream without data, so an ``augment_fn`` whose rng
+    consumption depends on the *data* would silently desynchronize exact resume.  The
+    sampler records the canonical signature once and checks every subsequent call
+    against it — a mismatch raises instead of corrupting the stream."""
+
+    def __init__(self, rng: np.random.Generator):
+        self._rng = rng
+        self.calls: list = []
+
+    @staticmethod
+    def _norm(v):
+        # stream consumption is determined by sizes/shapes, not array contents
+        if isinstance(v, np.ndarray):
+            return ("arr", v.shape)
+        if isinstance(v, (int, float, bool, str, bytes, tuple, type(None))):
+            return v
+        return ("obj", type(v).__name__)
+
+    def __getattr__(self, name):
+        attr = getattr(self._rng, name)
+        if not callable(attr):
+            return attr
+
+        def wrapped(*a, **k):
+            self.calls.append(
+                (name, tuple(self._norm(v) for v in a),
+                 tuple(sorted((kk, self._norm(vv)) for kk, vv in k.items())))
+            )
+            return attr(*a, **k)
+
+        return wrapped
+
+
 class MinibatchSampler:
     """Random (file, SAP, baselines) sampler producing ``Minibatch`` objects."""
 
@@ -101,6 +138,31 @@ class MinibatchSampler:
             self.use_native = native.available()
         else:
             self.use_native = use_native
+        # skip()-replay contract: the augment fn must consume the rng identically
+        # for every input (VERDICT r3 #6).  Probe it on two different datasets with
+        # a throwaway rng; data-dependent consumption fails HERE, not mid-resume.
+        self._augment_sig: list | None = None
+        if cfg.augment:
+            probe_rng = np.random.default_rng(0)
+            shape = (2, 8, 8, cfg.num_channels)
+            for probe in (probe_rng.normal(size=shape).astype(np.float32),
+                          np.zeros(shape, np.float32)):
+                proxy = _SignatureRng(np.random.default_rng(1))
+                self.augment_fn(proxy, probe)
+                self._check_augment_sig(proxy.calls, where="construction probe")
+
+    def _check_augment_sig(self, calls: list, where: str) -> None:
+        if self._augment_sig is None:
+            self._augment_sig = calls
+        elif calls != self._augment_sig:
+            raise RuntimeError(
+                "augment_fn's rng consumption is data-dependent: observed draw "
+                f"signature {calls!r} at {where} differs from the canonical "
+                f"{self._augment_sig!r}.  skip()-based exact resume replays the rng "
+                "stream without data, so such a transform would silently desync the "
+                "stream — make the fn draw a fixed, data-independent sequence "
+                "(draw first, then decide what to do with the values)."
+            )
 
     def reseed(self, epoch: int) -> None:
         """Deterministic per-epoch stream: resuming at an epoch boundary reproduces the
@@ -120,10 +182,13 @@ class MinibatchSampler:
             self.rng.integers(0, nbase, self.cfg.batch_size)
             if self.cfg.augment:
                 # augment_fn draws from rng per baseline group; replay on a dummy
-                # patch group (valid for any fn whose rng use is data-independent,
-                # like the default flip augmentation)
+                # patch group.  Valid only for fns whose rng use is data-independent
+                # (like the default flip augmentation) — which the signature check
+                # enforces, here and at every real call.
                 for _ in range(self.cfg.batch_size):
-                    self.augment_fn(self.rng, dummy)
+                    proxy = _SignatureRng(self.rng)
+                    self.augment_fn(proxy, dummy)
+                    self._check_augment_sig(proxy.calls, where="skip() replay")
 
     def sample(self) -> Minibatch:
         cfg = self.cfg
@@ -163,7 +228,9 @@ class MinibatchSampler:
             pieces = []
             for b in range(cfg.batch_size):
                 pieces.append(grouped[b])
-                pieces.append(self.augment_fn(self.rng, grouped[b]))
+                proxy = _SignatureRng(self.rng)
+                pieces.append(self.augment_fn(proxy, grouped[b]))
+                self._check_augment_sig(proxy.calls, where="sample()")
             patches = np.concatenate(pieces, axis=0)
             uv_full = np.repeat(uv, 2 * ppb, axis=0)
 

@@ -331,6 +331,43 @@ def test_sampler_skip_matches_sampling(synth_h5):
         np.testing.assert_array_equal(a.sample().x, b.sample().x)
 
 
+def test_sampler_rejects_data_dependent_augment(synth_h5):
+    """An augment fn whose rng consumption depends on the data would silently desync
+    skip()-based exact resume; the sampler must refuse it loudly (VERDICT r3 #6)."""
+    import pytest
+
+    from lshm_tpu.config import DataConfig
+    from lshm_tpu.data import MinibatchSampler
+
+    def evil(rng, patches):
+        if patches.max() > 0:          # draws only for non-zero data
+            if rng.random() < 0.5:
+                patches = patches[:, ::-1]
+        return np.ascontiguousarray(patches)
+
+    cfg = DataConfig(batch_size=2, patch_size=128, augment=True)
+    with pytest.raises(RuntimeError, match="data-dependent"):
+        MinibatchSampler([synth_h5], ["0"], cfg, seed=3, augment_fn=evil)
+
+    def shape_shifting(rng, patches):   # consumption varies with group size
+        for _ in range(patches.shape[0]):
+            rng.random()
+        return patches
+
+    cfg_small = DataConfig(batch_size=2, patch_size=128, augment=True)
+    with pytest.raises(RuntimeError, match="data-dependent"):
+        # construction probes use two fixed same-shape datasets, so this passes the
+        # probe — but the first real sample() (different group size) must raise
+        s = MinibatchSampler([synth_h5], ["0"], cfg_small, seed=3,
+                             augment_fn=shape_shifting)
+        s.sample()
+
+    # the default flip augmentation keeps working and resumes exactly
+    ok = MinibatchSampler([synth_h5], ["0"], cfg, seed=5)
+    ok.sample()
+    ok.skip(2)
+
+
 def test_mesh_autospan_preserves_axis_count(monkeypatch):
     """Multi-process default config (mesh_shape product 1) auto-spans all devices on
     the data axis while keeping one mesh dim per configured axis name — regression
