@@ -53,8 +53,17 @@ def baseline_distance_matrix(
     order: int = 4,
     baselines_per_batch: int = 8,
     baseline_ids: list[int] | None = None,
+    decode_lookahead: int = 2,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (X [K, nbase] raw distance matrix, mean_latents [nbase, D])."""
+    """Returns (X [K, nbase] raw distance matrix, mean_latents [nbase, D]).
+
+    The host decode (h5 read + int8 x scale + patchify) and the device forward are
+    PIPELINED: a background thread decodes up to ``decode_lookahead`` chunks ahead
+    while the device runs the previous chunk's forward, and results are fetched one
+    chunk late — so the device rate (~275k patches/s measured) is never serialized
+    behind the ~8k patches/s host decode and end-to-end eval tracks the slower of the
+    two instead of their sum (VERDICT r3 weak #5).  ``decode_lookahead=0`` restores
+    the serial path."""
     from lshm_tpu.data.h5io import read_baselines_patches_batch, read_metadata
 
     nbase = read_metadata(filename, sap)[0]
@@ -62,9 +71,10 @@ def baseline_distance_matrix(
     K = params["params"]["khm"]["M"].shape[0]
     X = np.zeros((K, len(ids)), np.float64)
     latents = None
+    chunks = [ids[s : s + baselines_per_batch]
+              for s in range(0, len(ids), baselines_per_batch)]
 
-    for start in range(0, len(ids), baselines_per_batch):
-        chunk = ids[start : start + baselines_per_batch]
+    def decode(chunk):
         # ONE h5 open per chunk serves patches + uv for every baseline in it
         # (VERDICT round 2 item 7).  The tail chunk is padded to a full batch AFTER
         # decoding — a partial final chunk would otherwise re-trace _batched_features
@@ -81,10 +91,51 @@ def baseline_distance_matrix(
             patches = np.concatenate(
                 [patches, np.tile(patches[-ppb:], (npad, 1, 1, 1))], axis=0
             )
-            uv_full = np.concatenate([uv_full, np.tile(uv_full[-ppb:], (npad, 1))], axis=0)
-        x = jnp.asarray(patches)
-        uv = jnp.asarray(uv_full)
-        dists, mls = _batched_features(model, params, x, uv, ppb, order)
+            uv_full = np.concatenate(
+                [uv_full, np.tile(uv_full[-ppb:], (npad, 1))], axis=0
+            )
+        return jnp.asarray(patches), jnp.asarray(uv_full), ppb
+
+    def dispatch(decoded):
+        x, uv, ppb = decoded
+        return _batched_features(model, params, x, uv, ppb, order)
+
+    if decode_lookahead > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1)  # h5py is not thread-safe across opens
+        try:
+            pending: list = []          # decode futures, in chunk order
+            results: list = []          # (start_index, chunk, device result), 1 deep
+            out_rows: list = []
+            nprimed = min(decode_lookahead, len(chunks))
+            for c in chunks[:nprimed]:
+                pending.append(ex.submit(decode, c))
+            for i, chunk in enumerate(chunks):
+                decoded = pending.pop(0).result()
+                if i + nprimed < len(chunks):
+                    pending.append(ex.submit(decode, chunks[i + nprimed]))
+                # dispatch is async on device; materialize the PREVIOUS chunk's
+                # result now, so device compute overlaps this chunk's decode wait
+                results.append((i, chunk, dispatch(decoded)))
+                if len(results) > 1:
+                    j, cj, (dists, mls) = results.pop(0)
+                    out_rows.append((j, cj, np.asarray(dists), np.asarray(mls)))
+            for j, cj, (dists, mls) in results:
+                out_rows.append((j, cj, np.asarray(dists), np.asarray(mls)))
+        finally:
+            ex.shutdown(wait=False)
+        for j, chunk, dists, mls in out_rows:
+            start = j * baselines_per_batch
+            if latents is None:
+                latents = np.zeros((len(ids), mls.shape[-1]), np.float32)
+            X[:, start : start + len(chunk)] = dists[: len(chunk)].T
+            latents[start : start + len(chunk)] = mls[: len(chunk)]
+        return X, latents
+
+    for i, chunk in enumerate(chunks):
+        start = i * baselines_per_batch
+        dists, mls = dispatch(decode(chunk))
         dists, mls = np.asarray(dists), np.asarray(mls)
         if latents is None:
             latents = np.zeros((len(ids), mls.shape[-1]), np.float32)

@@ -73,6 +73,23 @@ def test_distance_matrix_single_trace(small_model, synth_h5):
     assert _batched_features._cache_size() == 1
 
 
+def test_distance_matrix_pipelined_matches_serial(small_model, synth_h5):
+    """The decode/compute-overlapped path (decode_lookahead>0, the default) must be
+    bit-identical to the serial path — same chunks, same order, same padding."""
+    model, params = small_model
+    ser_X, ser_lat = baseline_distance_matrix(
+        model, params, synth_h5, "0", order=4, baselines_per_batch=4,
+        decode_lookahead=0,
+    )
+    for la in (1, 2, 4):
+        X, lat = baseline_distance_matrix(
+            model, params, synth_h5, "0", order=4, baselines_per_batch=4,
+            decode_lookahead=la,
+        )
+        np.testing.assert_array_equal(X, ser_X)
+        np.testing.assert_array_equal(lat, ser_lat)
+
+
 def test_nmi():
     a = np.array([0, 0, 1, 1, 2, 2])
     assert nmi(a, a) == 1.0
