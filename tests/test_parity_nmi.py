@@ -21,5 +21,14 @@ def test_cluster_assignment_nmi():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "benchmarks"))
     import parity_nmi
 
-    score = parity_nmi.main(iters=10, seed=0)
+    score = parity_nmi.main(iters=10, seed=0, nstations=5, variant="cascade")
+    assert score >= 0.95, score
+
+
+def test_cluster_assignment_nmi_fourier():
+    """Same protocol on the legacy Fourier pipeline (net/fnet/khm trio)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "benchmarks"))
+    import parity_nmi
+
+    score = parity_nmi.main(iters=10, seed=0, nstations=5, variant="fourier")
     assert score >= 0.95, score
