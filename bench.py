@@ -231,6 +231,7 @@ def measure_ours(compute_dtype: str | None = None, batch: int = BATCH_PATCHES,
         "batch_patches": batch,
         "nadmm": NADMM,
         "compute_dtype": dtype,
+        "packed_conv2d": cfg.model.packed_conv2d,
         "donate": donate,
         "compile_sec": compile_sec,
         "flops_per_step_call": flops,
@@ -286,21 +287,39 @@ def measure_ours_eval() -> dict:
 
 def measure_ours_lbfgs() -> dict:
     """Secondary: the stochastic L-BFGS ADMM step (on-device line searches), honest
-    two-point timing; same unit of work as the reference's LBFGSNew mode."""
+    two-point timing; same unit of work per ADMM iteration as the reference's
+    LBFGSNew mode.
+
+    BENCH_r03's lbfgs secondary timed out COMPILING: the nadmm=10 unrolled chain of
+    nested while-loop line searches is a very large program.  The timed chain here
+    unrolls nadmm=2 per step call (override: LSHM_BENCH_LBFGS_NADMM) and normalizes
+    per ADMM iteration — honest per-unit accounting (the per-call fixed overhead,
+    ~1.4 ms, is amortized over 2 iterations instead of 10 and is REPORTED via
+    lbfgs_nadmm); compilation goes through the persistent cache and is reported
+    separately, outside the timed window."""
     from lshm_tpu.train import LossWeights, init_lbfgs_train_state, make_lbfgs_train_step
 
-    cfg, model, x, uv, key = _flagship_setup(BATCH_PATCHES, NBASELINES, optimizer="lbfgs")
+    nadmm = int(os.environ.get("LSHM_BENCH_LBFGS_NADMM", "2"))
+    cfg, model, x, uv, key = _flagship_setup(
+        BATCH_PATCHES, NBASELINES, optimizer="lbfgs", nadmm=nadmm
+    )
     state = init_lbfgs_train_state(model, cfg, key, x, uv)
-    step = make_lbfgs_train_step(model, cfg, num_groups=NBASELINES, donate=False)
+    step = make_lbfgs_train_step(model, cfg, num_groups=NBASELINES, donate=False,
+                                 jit=False)
     w = LossWeights()
-    state, m = step(state, x, uv, w)
+    t0 = time.perf_counter()
+    compiled = jax.jit(step).lower(state, x, uv, w).compile()
+    compile_sec = time.perf_counter() - t0
+    state, m = compiled(state, x, uv, w)          # warmup execution
     _fetch_scalar(m)
-    r, state = _measure_two_point(step, state, x, uv, w, NADMM)
+    r, state = _measure_two_point(compiled, state, x, uv, w, nadmm)
     # func_evals from the state AFTER the timed chain, so the diagnostic reflects
     # the measured work (cumulative closure evaluations across all timed steps)
     return {
         "lbfgs_patches_per_sec": BATCH_PATCHES / r["sec_per_admm_iter"],
         "lbfgs_sec_per_admm_iter": r["sec_per_admm_iter"],
+        "lbfgs_nadmm": nadmm,
+        "lbfgs_compile_sec": compile_sec,
         "lbfgs_func_evals": int(jax.device_get(state.opt_state.func_evals)),
     }
 
