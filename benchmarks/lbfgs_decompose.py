@@ -88,6 +88,9 @@ def main():
         g = None
         for _ in range(k):
             v, g = vg_fn(perturb(p, v))
+            # thread a gradient element into the carry so the intermediate backward
+            # passes are data-live (otherwise XLA DCEs every backward but the last)
+            v = v + jnp.ravel(jax.tree.leaves(g)[0])[0] * 1e-30
         return v, g
 
     def vg_while(p, k):
@@ -135,9 +138,12 @@ def main():
         "value_probe_x1": (lambda p: probes_chain(p, 1), (params,)),
         "value_probes_chain_x3": (lambda p: probes_chain(p, 3), (params,)),
         "value_probes_while_x3": (lambda p: probes_while(p, 3), (params,)),
-        "vg_x1": (lambda p: vg_chain(p, 1)[0], (params,)),
-        "vg_chain_x4": (lambda p: vg_chain(p, 4)[0], (params,)),
-        "vg_while_x4": (lambda p: vg_while(p, 4)[0], (params,)),
+        # NOTE: return BOTH (v, g) — dropping g here would let XLA dead-code-eliminate
+        # the whole backward pass (time_fn keeps the full output alive, but only of
+        # what the lambda returns)
+        "vg_x1": (lambda p: vg_chain(p, 1), (params,)),
+        "vg_chain_x4": (lambda p: vg_chain(p, 4), (params,)),
+        "vg_while_x4": (lambda p: vg_while(p, 4), (params,)),
         "metrics_dual_fwd": (metrics_dual, (params,)),
         "lbfgs_opt_step": (lbfgs_once, (params,)),
         "lbfgs_train_step_nadmm1": (

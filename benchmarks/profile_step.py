@@ -27,6 +27,7 @@ import jax  # noqa: E402
 
 
 def capture(trace_dir: str, steps: int, dtype: str) -> dict:
+    global _COMPILED_HLO
     from lshm_tpu.train import LossWeights, init_train_state, make_train_step
 
     cfg, model, x, uv, key = bench._flagship_setup(
@@ -37,6 +38,10 @@ def capture(trace_dir: str, steps: int, dtype: str) -> dict:
                               donate=False, jit=False)
     w = LossWeights()
     compiled = jax.jit(step_fn).lower(state, x, uv, w).compile()
+    try:  # keep the optimized HLO so top fusions can be annotated with their contents
+        _COMPILED_HLO = compiled.as_text()
+    except Exception:
+        _COMPILED_HLO = None
     state, m = compiled(state, x, uv, w)        # warmup
     bench._fetch_scalar(m)
 
@@ -84,6 +89,59 @@ def parse_trace(trace_dir: str, top: int = 40) -> list[dict]:
     return rows[:top]
 
 
+_COMPILED_HLO: str | None = None
+
+
+def annotate_rows(rows: list[dict], hlo: str | None) -> None:
+    """Attach a one-line HLO summary to each top op: the interesting instructions
+    (conv / dot / reduce / transpose / reverse / copy) inside its fused computation,
+    with shapes — turning opaque ``fusion.7220`` names into actionable targets."""
+    if not hlo:
+        return
+    import re
+
+    # map "fusion.7220" -> called computation name, and computation name -> body
+    call_of: dict[str, str] = {}
+    for m in re.finditer(
+        r"%?([\w.\-]+)\s*=\s*[\w\[\],{}\s/]*fusion\([^)]*\).*?calls=%?([\w.\-]+)", hlo
+    ):
+        call_of[m.group(1)] = m.group(2)
+    bodies: dict[str, str] = {}
+    for m in re.finditer(r"%?([\w.\-]+)\s*\([^)]*\)\s*->\s*[^{]+\{", hlo):
+        start = m.end()
+        depth, i = 1, start
+        while depth and i < len(hlo):
+            if hlo[i] == "{":
+                depth += 1
+            elif hlo[i] == "}":
+                depth -= 1
+            i += 1
+        bodies[m.group(1)] = hlo[start:i]
+
+    interesting = re.compile(
+        r"=\s*((?:[a-z0-9]+\[[^\]]*\][^ ]*\s+)?(convolution|dot|reduce|transpose|"
+        r"reverse|copy|concatenate|scatter|gather|exponential)\b[^\n]*)"
+    )
+    for r in rows:
+        name = r.get("op", "")
+        comp = call_of.get(name) or call_of.get(name.split("(")[0])
+        body = bodies.get(comp) if comp else None
+        if body is None:
+            # non-fusion op: find its own defining line
+            m = re.search(rf"%?{re.escape(name)}\s*=\s*([^\n]+)", hlo)
+            if m:
+                r["hlo"] = m.group(1)[:240]
+            continue
+        ops = []
+        for m in interesting.finditer(body):
+            line = " ".join(m.group(1).split())
+            ops.append(line[:200])
+            if len(ops) >= 4:
+                break
+        if ops:
+            r["hlo"] = ops
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3)
@@ -99,6 +157,7 @@ def main():
     meta = capture(args.trace_dir, args.steps, args.dtype)
     try:
         rows = parse_trace(args.trace_dir)
+        annotate_rows(rows, _COMPILED_HLO)
     except Exception as e:
         rows = [{"error": repr(e)[:300]}]
     report = {

@@ -93,6 +93,11 @@ class ModelConfig:
     # control (36.5/36.0/35.8k vs 41.3k patches/s) — the s2d/d2s copies break more
     # fusion than the lane packing wins (benchmarks/packed_conv2d_report.json).
     packed_conv2d: int = 0
+    # Fused Pallas VMEM kernel for the 2D AE's two outermost encoder stages
+    # (conv0 + ELU + conv1 + ELU in one pass, rematerializing custom VJP —
+    # lshm_tpu/kernels/conv2d_outer.py).  Exact math (parity-tested), identical
+    # param tree; interpret-mode off-TPU.
+    pallas_head: bool = False
     # legacy pipeline (reference Demo.ipynb): second 2D AE on the FFT of the residual
     # instead of the two 1D AEs.
     fourier_variant: bool = False
@@ -127,6 +132,24 @@ class LBFGSConfig:
     tolerance_change: float = 1e-9
     line_search: bool = True
     batch_mode: bool = True           # stochastic variant with variance-damped max step
+    # Unroll the outer L-BFGS iteration (max_iter slots) into straight-line XLA with
+    # done-masking instead of a lax.while_loop — the optimizer-level analog of
+    # TrainConfig.admm_unroll.  ``done`` is sticky, so slot i is either exactly
+    # iteration i+1 or a discarded no-op; trajectories match the while lowering
+    # bit-for-bit (tests/test_lbfgs.py::test_unroll_outer_matches_while).  The line
+    # searches inside each slot keep their (data-dependent) while loops.
+    # Measured on the flagship closure (TPU v5e, 2026-08-19, benchmarks/
+    # lbfgs_decompose.py + lbfgs_ab.py): the while-loop lowering costs the
+    # value_and_grad body ~1.18x in isolation (12.56 vs 10.66 ms/eval inside vs
+    # outside a while region) but the COMPOSED optimizer step is neutral (82.96 vs
+    # 83.28 ms/step) — the data-dependent line-search whiles still partition the
+    # program either way, so nothing like the 6.4x ADMM-scan pessimization applies.
+    # DEFAULT OFF (honest neutral): compile time scales with max_iter (each slot
+    # clones the line-search while bodies), pathological for large-max_iter
+    # full-batch configs (tests use up to 50), and the unrolled lowering buys no
+    # measured throughput.  Kept as a bit-parity-tested alternative lowering
+    # (tests/test_lbfgs.py::test_unroll_outer_matches_while).
+    unroll_outer: bool = False
     # Keep gradient machinery enabled during line-search probes (reference:
     # src/lbfgsnew.py:61-69,686-693).  In the reference this is required when the cost
     # itself consumes gradients (e.g. a gradient-norm regularizer) because probes run

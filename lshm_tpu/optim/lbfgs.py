@@ -444,6 +444,7 @@ def make_lbfgs_step(
     max_iter = cfg.max_iter
     max_eval = max_iter * 5 // 4
     lm0 = cfg.trust_region_lm0
+    unroll = cfg.unroll_outer
 
     def step(x, state: LBFGSState, *args) -> LBFGSResult:
         value_and_grad_fn = lambda v: value_and_grad_fn_outer(v, *args)
@@ -464,7 +465,13 @@ def make_lbfgs_step(
             (x, g, loss, state, n_iter, current_evals, done) = carry
             return (~done) & (n_iter < max_iter) & (~jnp.isnan(grad_nrm))
 
-        def body(carry):
+        def body(carry, static_last=None):
+            """One L-BFGS iteration.  ``static_last``: None inside the while-loop
+            lowering (the re-eval skip is a traced ``lax.cond`` on n_iter); True/False
+            under the unrolled lowering, where slot order makes it static — ``done`` is
+            sticky, so whenever slot i is active its n_iter equals i+1 and the
+            "announced last iteration" test ``n_iter != max_iter`` is known at trace
+            time (slots 0..max_iter-2 re-evaluate, the last slot never does)."""
             (x, g, loss, state, n_iter, current_evals, done) = carry
             n_iter = n_iter + 1
             gi = state.n_iter + 1                      # global iteration count
@@ -561,7 +568,14 @@ def make_lbfgs_step(
             def keep(_):
                 return loss, g, jnp.asarray(0, jnp.int32)
 
-            loss_new, g_next, ev = jax.lax.cond(n_iter != max_iter, reeval, keep, None)
+            if static_last is None:
+                loss_new, g_next, ev = jax.lax.cond(
+                    n_iter != max_iter, reeval, keep, None
+                )
+            elif static_last:
+                loss_new, g_next, ev = keep(None)
+            else:
+                loss_new, g_next, ev = reeval(None)
             current_evals = current_evals + ev
             state = state.replace(func_evals=state.func_evals + ev)
             abs_grad_sum = _tabs_sum(g_next)
@@ -582,7 +596,23 @@ def make_lbfgs_step(
             x, g0, loss0, state, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
             abs_grad_sum0 <= cfg.tolerance_grad,
         )
-        x, g, loss, state, *_ = jax.lax.while_loop(cond, body, init)
+        if unroll:
+            # Straight-line lowering of the outer iteration with done-masking:
+            # ``done`` is sticky, so slot i either IS iteration i+1 or a fully
+            # discarded no-op.  The while-loop region boundary otherwise blocks XLA
+            # from fusing/CSEing the re-eval value_and_grad forwards with their
+            # neighbors (the same lowering pessimization measured 6.4x on the ADMM
+            # scan — benchmarks/decompose.py, config.py::admm_unroll).
+            carry = init
+            for i in range(max_iter):
+                active = cond(carry)
+                new_carry = body(carry, static_last=(i == max_iter - 1))
+                carry = jax.tree.map(
+                    lambda n, o: jnp.where(active, n, o), new_carry, carry
+                )
+            x, g, loss, state, *_ = carry
+        else:
+            x, g, loss, state, *_ = jax.lax.while_loop(cond, body, init)
         return LBFGSResult(x=x, state=state, loss=orig_loss)
 
     return step

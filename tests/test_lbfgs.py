@@ -125,6 +125,42 @@ def test_nan_objective_keeps_params_finite():
     assert np.all(np.isfinite(np.asarray(x)))
 
 
+@pytest.mark.parametrize("batch_mode", [True, False])
+def test_unroll_outer_matches_while(batch_mode):
+    """The straight-line (done-masked) outer-iteration lowering must reproduce the
+    lax.while_loop lowering bit-for-bit: same params, same optimizer state (history,
+    alphabar, func_evals) over a multi-step stochastic run."""
+    rng = np.random.default_rng(7)
+    n, dim = 128, 6
+    W = rng.normal(size=(n, dim)).astype(np.float32)
+    true = rng.normal(size=dim).astype(np.float32)
+    y = W @ true + 0.05 * rng.normal(size=n).astype(np.float32)
+
+    def loss(v, Wb, yb):
+        r = Wb @ v - yb
+        return jnp.mean(r * r)
+
+    results = []
+    for unroll in (False, True):
+        cfg = LBFGSConfig(lr=1.0, max_iter=4, history_size=5, line_search=True,
+                          batch_mode=batch_mode, unroll_outer=unroll)
+        step = jax.jit(make_lbfgs_step(jax.value_and_grad(loss), loss, cfg))
+        state = lbfgs_init(dim, cfg)
+        x = jnp.zeros(dim)
+        idx_rng = np.random.default_rng(11)
+        for _ in range(8):
+            idx = idx_rng.integers(0, n, 32)
+            x, state, _ = step(x, state, jnp.asarray(W[idx]), jnp.asarray(y[idx]))
+        results.append((np.asarray(x), state))
+
+    (x_w, st_w), (x_u, st_u) = results
+    np.testing.assert_array_equal(x_w, x_u)
+    assert int(st_w.func_evals) == int(st_u.func_evals)
+    assert int(st_w.hist_count) == int(st_u.hist_count)
+    np.testing.assert_array_equal(np.asarray(st_w.alphabar), np.asarray(st_u.alphabar))
+    np.testing.assert_array_equal(np.asarray(st_w.s_hist), np.asarray(st_u.s_hist))
+
+
 def test_pytree_wrapper():
     params = {"w": jnp.ones((3,)), "b": jnp.zeros(())}
 

@@ -56,6 +56,63 @@ def test_lbfgs_train_step_improves():
 
 
 @pytest.mark.slow
+def test_lbfgs_group_substitution_matches_masked_gradients():
+    """The structural-freeze closure (frozen subtrees substituted with a loop-invariant
+    snapshot, so XLA can hoist their forward out of the line searches) must reproduce
+    the plain masked-gradient semantics bit-for-bit: the search direction is exactly
+    zero in frozen leaves either way, so every probe sees numerically identical
+    parameters."""
+    from lshm_tpu.optim import lbfgs_init, make_lbfgs_step
+    from lshm_tpu.train.objective import Duals, cascade_objective
+    from lshm_tpu.train.schedule import group_mask
+
+    cfg = make_cfg()
+    model = CascadedAE(cfg=cfg.model)
+    x, uv = make_batch(jax.random.PRNGKey(4), n=4)
+    state = init_lbfgs_train_state(model, cfg, jax.random.PRNGKey(5), x, uv)
+    params = state.params
+    w = LossWeights()
+    duals = Duals.zeros_like(x)
+
+    def value_fn(p, x, uv, duals, w):
+        return cascade_objective(model, p, x, uv, duals, w, 1,
+                                 use_rica=cfg.model.rica,
+                                 khm_order=cfg.model.khm_order)[0]
+
+    group = "ae1d"
+
+    # masked-gradient reference (the pre-substitution implementation)
+    def vg_masked(p, x, uv, duals, w):
+        v, g = jax.value_and_grad(value_fn)(p, x, uv, duals, w)
+        m = group_mask(p, group)
+        return v, jax.tree.map(
+            lambda leaf, keep: leaf if keep else jnp.zeros_like(leaf), g, m
+        )
+
+    step_ref = jax.jit(make_lbfgs_step(vg_masked, value_fn, cfg.optim.lbfgs))
+    res_ref = step_ref(params, lbfgs_init(params, cfg.optim.lbfgs), x, uv, duals, w)
+
+    # structural-freeze path, as built by make_lbfgs_train_step(group=...)
+    def subst(p, frozen):
+        m = group_mask(p, group)
+        return jax.tree.map(lambda v, fz, keep: v if keep else fz, p, frozen, m)
+
+    def value_fn_g(p, x, uv, duals, w, frozen):
+        return value_fn(subst(p, frozen), x, uv, duals, w)
+
+    def vg_fn_g(p, x, uv, duals, w, frozen):
+        return jax.value_and_grad(value_fn_g)(p, x, uv, duals, w, frozen)
+
+    step_sub = jax.jit(make_lbfgs_step(vg_fn_g, value_fn_g, cfg.optim.lbfgs))
+    res_sub = step_sub(params, lbfgs_init(params, cfg.optim.lbfgs), x, uv, duals, w,
+                       params)
+
+    for a, b in zip(jax.tree.leaves(res_ref.x), jax.tree.leaves(res_sub.x)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(res_ref.state.func_evals) == int(res_sub.state.func_evals)
+
+
+@pytest.mark.slow
 def test_lbfgs_group_masked_step():
     cfg = make_cfg()
     model = CascadedAE(cfg=cfg.model)
