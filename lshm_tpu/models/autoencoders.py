@@ -336,6 +336,11 @@ class AutoEncoder2D(nn.Module):
     # packed: encoder conv0..conv{packed-1} and decoder tconv{6-packed}..tconv5.
     # Exact math, identical param tree (see conv2d_s2_packed above).
     packed: int = 0
+    # run the two outermost encoder stages (conv0 + ELU + conv1 + ELU) as ONE fused
+    # Pallas VMEM kernel with a rematerializing custom VJP
+    # (lshm_tpu/kernels/conv2d_outer.py).  Identical param tree; parity-tested
+    # against the XLA stages.  Interpret-mode off-TPU keeps CPU tests hermetic.
+    pallas_head: bool = False
 
     @property
     def harmonic_dim(self) -> int:
@@ -372,7 +377,20 @@ class AutoEncoder2D(nn.Module):
             self.fc2out = nn.Dense(self.latent_dim, dtype=self.dtype)
 
     def encode(self, x: jnp.ndarray, uvf: jnp.ndarray) -> jnp.ndarray:
-        for c in self.enc:
+        stages = self.enc
+        if self.pallas_head and not self.is_initializing():
+            # fused VMEM kernel for the two full-resolution stages; params are read
+            # from the same nn.Conv submodules (identical tree, same as the fuse_1d
+            # pattern in cascade.py), so checkpoints/importers are unaffected
+            from lshm_tpu.kernels.conv2d_outer import enc_head
+
+            p0 = self.enc[0].variables["params"]
+            p1 = self.enc[1].variables["params"]
+            cast = lambda a: a.astype(self.dtype)
+            x = enc_head(cast(x), cast(p0["kernel"]), cast(p0["bias"]),
+                         cast(p1["kernel"]), cast(p1["bias"]))
+            stages = self.enc[2:]
+        for c in stages:
             x = elu(c(x))
         x = x.reshape(x.shape[0], -1)                       # [N, 768] (h, w, c order)
         u = elu(self.fcuv1(uvf))

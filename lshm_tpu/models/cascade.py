@@ -107,6 +107,7 @@ class CascadedAE(nn.Module):
             rica=c.rica,
             dtype=dtype,
             packed=c.packed_conv2d,
+            pallas_head=c.pallas_head,
             name="ae2d",
         )
         if c.fourier_variant:

@@ -288,6 +288,40 @@ def test_packed_conv2d_ae_matches_flax():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
 
 
+def test_pallas_head_ae_matches_flax():
+    """AutoEncoder2D with pallas_head=True (the fused VMEM kernel for the two
+    outermost encoder stages, interpret mode off-TPU) must have the same param tree,
+    forward, and gradients as the strided default."""
+    import numpy as np
+
+    from lshm_tpu.models.autoencoders import AutoEncoder2D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 4))
+    uv = jax.random.normal(jax.random.PRNGKey(1), (2, 2))
+    base = AutoEncoder2D(latent_dim=32, pallas_head=False)
+    fused = AutoEncoder2D(latent_dim=32, pallas_head=True)
+    p = base.init(jax.random.PRNGKey(2), x, uv)
+    p2 = fused.init(jax.random.PRNGKey(2), x, uv)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ya, mua = base.apply(p, x, uv)
+    yb, mub = fused.apply(p, x, uv)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mua), np.asarray(mub), rtol=1e-5, atol=1e-5)
+
+    def loss(params, mod):
+        y, mu = mod.apply(params, x, uv)
+        return jnp.sum(y * y) + jnp.sum(mu)
+
+    ga = jax.grad(loss)(p, base)
+    gb = jax.grad(loss)(p, fused)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-5
+
+
 def test_custom_elu_matches_jax_nn_elu():
     """The custom-JVP ELU (standalone select fusions removed on TPU) must match
     jax.nn.elu in values and gradients, including at extreme inputs."""
