@@ -36,6 +36,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=420)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--diag", action="store_true",
+                    help="also report func_evals + f32 loss after one step "
+                         "(second compile per variant)")
     args = ap.parse_args()
 
     from lshm_tpu.optim import lbfgs_init, make_lbfgs_step
@@ -51,13 +54,34 @@ def main():
     w = LossWeights()
     duals = Duals.zeros_like(x)
 
-    def value_fn(p, x, uv, duals, w):
-        return cascade_objective(model, p, x, uv, duals, w, nbase,
-                                 use_rica=cfg.model.rica,
-                                 khm_order=cfg.model.khm_order)[0]
+    def make_value_fn(mdl):
+        def value_fn(p, x, uv, duals, w):
+            return cascade_objective(mdl, p, x, uv, duals, w, nbase,
+                                     use_rica=cfg.model.rica,
+                                     khm_order=cfg.model.khm_order)[0]
+        return value_fn
+
+    value_fn = make_value_fn(model)
 
     def vg_fn(p, x, uv, duals, w):
         return jax.value_and_grad(value_fn)(p, x, uv, duals, w)
+
+    # mixed-precision closure: compute_dtype="bfloat16" (bf16 conv/dense activations,
+    # f32 residual/loss path — NOT the bf16_full mode whose bf16 loss noise blew up
+    # func_evals 6.8x, PERF_NOTES round-3).  The Armijo sufficient-decrease test
+    # still compares f32 losses; only the eval itself gets cheaper.
+    def bf16_fns():
+        import dataclasses as dc
+
+        from lshm_tpu.models import CascadedAE
+
+        mcfg = dc.replace(cfg.model, compute_dtype="bfloat16")
+        mdl = CascadedAE(cfg=mcfg)
+        vf = make_value_fn(mdl)
+
+        def vg(p, x, uv, duals, w):
+            return jax.value_and_grad(vf)(p, x, uv, duals, w)
+        return vg, vf
 
     def opt_step(lcfg, vg, vf, *extra):
         step = make_lbfgs_step(vg, vf, lcfg)
@@ -96,6 +120,7 @@ def main():
             dataclasses.replace(lc, unroll_outer=False), vg_fn, value_fn),
         "unroll": lambda: opt_step(
             dataclasses.replace(lc, unroll_outer=True), vg_fn, value_fn),
+        "bf16": lambda: opt_step(lc, *bf16_fns()),
     }
     for g in ("khm", "ae1d", "ae2d"):
         variants[f"group-{g}"] = (lambda g=g: opt_step(lc, *group_fns(g), params))
@@ -106,6 +131,14 @@ def main():
         fn = variants[name]()
         try:
             r = time_fn(fn, (params,))
+            if args.diag:
+                # one un-timed step for the optimizer's own diagnostics: closure-eval
+                # count and the accepted loss in a COMMON f32 objective (convergence
+                # sanity across dtypes).  Costs a second compile of the step program.
+                xn, fe = jax.jit(fn)(params)
+                r["func_evals"] = int(jax.device_get(fe))
+                r["loss_after_step"] = float(jax.device_get(
+                    jax.jit(value_fn)(xn, x, uv, duals, w)))
         except Exception as e:  # pragma: no cover
             r = {"error": repr(e)[:300]}
         print(json.dumps({"variant": name, "batch": batch, **r}), flush=True)
