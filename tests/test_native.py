@@ -51,6 +51,21 @@ def test_native_clamp():
     assert got.max() == 1e3
 
 
+def test_batch_reader_native_equals_numpy(synth_h5):
+    """The eval-path batch reader's native fast path (per-baseline native calls, so
+    the z-norm stats stay per-baseline) must match the numpy oracle path."""
+    from lshm_tpu.data.h5io import read_baselines_patches_batch
+
+    ids = [0, 2, 5]
+    px_n, py_n, pn, uvn = read_baselines_patches_batch(
+        synth_h5, "0", ids, uvdist=True, use_native=True)
+    px_o, py_o, po, uvo = read_baselines_patches_batch(
+        synth_h5, "0", ids, uvdist=True, use_native=False)
+    assert (px_n, py_n) == (px_o, py_o)
+    np.testing.assert_allclose(pn, po, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(uvn, uvo)
+
+
 def test_sampler_native_equals_numpy(synth_h5):
     from lshm_tpu.config import DataConfig
     from lshm_tpu.data import MinibatchSampler
