@@ -300,8 +300,15 @@ def measure_ours_lbfgs() -> dict:
     from lshm_tpu.train import LossWeights, init_lbfgs_train_state, make_lbfgs_train_step
 
     nadmm = int(os.environ.get("LSHM_BENCH_LBFGS_NADMM", "2"))
+    # mixed-precision closure (bf16 conv/dense activations, f32 residual/loss path —
+    # the full_khm_lbfgs preset default): the f32 Armijo comparisons keep the search
+    # trajectory near-identical to the f32 closure (same func_evals + loss to 7e-6
+    # rel at flagship dims, PERF_NOTES round 4), unlike bf16_full whose loss noise
+    # blew up func_evals 6.8x
+    dtype = os.environ.get("LSHM_BENCH_LBFGS_DTYPE", "bfloat16")
     cfg, model, x, uv, key = _flagship_setup(
-        BATCH_PATCHES, NBASELINES, optimizer="lbfgs", nadmm=nadmm
+        BATCH_PATCHES, NBASELINES, optimizer="lbfgs", nadmm=nadmm,
+        compute_dtype=dtype,
     )
     state = init_lbfgs_train_state(model, cfg, key, x, uv)
     step = make_lbfgs_train_step(model, cfg, num_groups=NBASELINES, donate=False,
@@ -319,6 +326,7 @@ def measure_ours_lbfgs() -> dict:
         "lbfgs_patches_per_sec": BATCH_PATCHES / r["sec_per_admm_iter"],
         "lbfgs_sec_per_admm_iter": r["sec_per_admm_iter"],
         "lbfgs_nadmm": nadmm,
+        "lbfgs_compute_dtype": dtype,
         "lbfgs_compile_sec": compile_sec,
         "lbfgs_func_evals": int(jax.device_get(state.opt_state.func_evals)),
     }

@@ -323,13 +323,22 @@ def preset(name: str) -> Config:
     if name == "full_khm_bf16":      # config #3 in the accuracy-gated mixed-precision
         # mode (bf16 activations/residuals/duals, f32 params/optimizer/losses):
         # ~1.4x train throughput on TPU v5e (tests/test_bf16.py gates; bench.py
-        # headline mode).  Adam path only — bf16 loss noise degrades the L-BFGS
+        # headline mode).  Adam path only — bf16_full loss noise degrades the L-BFGS
         # line search (benchmarks/PERF_NOTES.md).
         return base.replace(
             model=dataclasses.replace(base.model, compute_dtype="bfloat16_full")
         )
-    if name == "full_khm_lbfgs":     # config #4: same but LBFGS w/ alternating groups
+    if name == "full_khm_lbfgs":     # config #4: same but LBFGS w/ alternating groups.
+        # The closure runs compute_dtype="bfloat16" (bf16 conv/dense activations,
+        # f32 residual/loss path): the Armijo sufficient-decrease test still compares
+        # f32 losses, so unlike bf16_full (func_evals blew up 6.8x) the search
+        # trajectory is preserved up to the small f32-loss perturbation bf16
+        # activations introduce — identical func_evals and loss to 7e-6 relative at
+        # flagship dims, +/-1 func_eval on small probes, ~10% faster per step
+        # (benchmarks/PERF_NOTES.md round 4; accuracy gate:
+        # tests/test_bf16.py::test_lbfgs_bf16_tracks_f32).
         return base.replace(
-            optim=OptimConfig(optimizer="lbfgs", group_schedule=("ae2d", "ae1d", "khm"))
+            model=dataclasses.replace(base.model, compute_dtype="bfloat16"),
+            optim=OptimConfig(optimizer="lbfgs", group_schedule=("ae2d", "ae1d", "khm")),
         )
     raise ValueError(f"unknown preset: {name}")

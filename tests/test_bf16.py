@@ -121,6 +121,45 @@ def test_bf16_full_loss_terms_close_to_f32():
 
 
 @pytest.mark.slow
+def test_lbfgs_bf16_tracks_f32():
+    """Accuracy gate for the full_khm_lbfgs preset's mixed-precision closure
+    (compute_dtype="bfloat16": bf16 conv/dense activations, f32 residual/loss path).
+    The Armijo sufficient-decrease test compares f32 losses, so the line-search
+    trajectory is PRESERVED up to the small f32-loss perturbation bf16 activations
+    introduce: a borderline accept can flip (measured +/-1 func_eval on small probes,
+    identical at flagship dims), but nothing like bfloat16_full's 6.8x func_evals
+    blowup from bf16 loss noise (benchmarks/PERF_NOTES.md).  Gate: cumulative
+    func_evals within a +/-2 band of f32, per-step losses within bf16 activation
+    tolerance, params stay f32."""
+    import dataclasses
+
+    from lshm_tpu.train import init_lbfgs_train_state, make_lbfgs_train_step
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 128, 4))
+    uv = jnp.repeat(jax.random.normal(jax.random.PRNGKey(3), (1, 2)), 4, axis=0)
+    traj, evals = {}, {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = _cfg(dtype)
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, optimizer="lbfgs"))
+        model = CascadedAE(cfg=cfg.model)
+        state = init_lbfgs_train_state(model, cfg, jax.random.PRNGKey(4), x, uv)
+        step = make_lbfgs_train_step(model, cfg, num_groups=1, donate=False)
+        losses = []
+        for _ in range(2):
+            state, metrics = step(state, x, uv, LossWeights())
+            assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+            losses.append(float(metrics["loss"][-1]))
+        traj[dtype] = losses
+        evals[dtype] = int(jax.device_get(state.opt_state.func_evals))
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32
+    assert abs(evals["float32"] - evals["bfloat16"]) <= 2, evals
+    for a, b in zip(traj["float32"], traj["bfloat16"]):
+        assert abs(a - b) <= 0.02 * abs(a) + 5e-3, traj
+
+
+@pytest.mark.slow
 def test_bf16_full_training_tracks_f32():
     """Multi-step gate: a few full ADMM steps under bfloat16_full produce finite,
     decreasing losses tracking the f32 trajectory within bf16 tolerance, while the
