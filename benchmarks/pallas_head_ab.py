@@ -48,8 +48,9 @@ def main():
             base_cfg, model=dataclasses.replace(base_cfg.model,
                                                 pallas_head=pallas_head))
         model = CascadedAE(cfg=cfg.model)
-        state = init_train_state(model, cfg, key, x, uv)
-        step = make_train_step(model, cfg, num_groups=nbase, donate=False, jit=False)
+        state, tx = init_train_state(model, cfg, key, x, uv)
+        step = jax.jit(make_train_step(model, tx, cfg, num_groups=nbase,
+                                       donate=False, jit=False))
 
         def run(xb):
             _, metrics = step(state, xb, uv, w)

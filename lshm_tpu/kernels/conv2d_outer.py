@@ -1,35 +1,48 @@
 """Fused Pallas TPU kernels for the 2D AE's full-resolution conv stages.
 
-The flagship step is bound by its outermost conv stages (conv0/conv1 encoder,
-tconv4/tconv5 decoder — reference ladder src/lofar_models.py:31-41): 4-12 channels on
-a 128-lane MXU leave XLA's conv emitter at 5-12% utilization, and the surrounding
-bias/ELU/cotangent glue materializes full-resolution intermediates in HBM.  These
-kernels keep both outer encoder stages (conv + bias + ELU, twice) in one VMEM pass,
-with a custom VJP whose backward kernel rematerializes the forward in VMEM and emits
-weight/bias gradients — no full-resolution intermediate ever round-trips through HBM
-between the stages.
+The flagship step is bound by its outermost conv stages (conv0/conv1 encoder —
+reference ladder src/lofar_models.py:31-41): 4-12 channels on a 128-lane MXU leave
+XLA's conv emitter at 5-12% utilization, and the surrounding bias/ELU/cotangent glue
+materializes full-resolution intermediates in HBM.  This kernel keeps both outer
+encoder stages (conv + bias + ELU, twice) in one VMEM pass, with a custom VJP whose
+backward kernel rematerializes the forward in VMEM and emits weight/bias gradients —
+no full-resolution intermediate ever round-trips through HBM between the stages.
 
-Math: every k=4, s=2, p=1 conv is computed via the zero-tap-duplication space-to-depth
-identity (see conv2d_s2_packed in lshm_tpu/models/autoencoders.py): a k=2, s=1 VALID
-conv over the padded packed view [H/2+1, H/2+1, 4C].  In-kernel each such conv is ONE
-full-grid matmul + four shifted-view adds:
+Math: every k=4, s=2, p=1 conv satisfies the zero-tap-duplication space-to-depth
+identity (see conv2d_s2_packed in lshm_tpu/models/autoencoders.py): with the packed
+grid xp[i, j, (a, b, c)] = xpad[2i + a, 2j + b, c] and tap-major packed weights
+W[(a, b, c), (p, q, f)],
 
-    y   = grid[Hp*Wp, 4C] @ W[4C, 4F]          # all four taps at once, no im2col
-    out = sum_pq y[p:p+H, q:q+H, pq*F:(pq+1)*F]
+    a0[r, s] = sum_{p,q} y[r + p, s + q, (p, q, :)],     y = xp @ W.
 
-and each backward needs one shifted-copies buffer Z[i,j,(pq,f)] = dpre[i-p, j-q, f]
-which serves BOTH gradients with one matmul each:
+Chaining TWO such stages inside one kernel requires re-packing the stage-0 output
+for stage 1 — a parity (stride-2) split, which Mosaic cannot lower as a vector op
+('vector.extract_strided_slice' demands stride 1).  The kernel therefore works in a
+DOUBLE-packed domain where every access is a stride-1 slice:
 
-    dW = grid^T @ Z           dIn = Z @ W^T
+    xp4[i2, j2, (alpha, beta, a, b, c)] = xp[2*i2 + alpha, 2*j2 + beta, (a, b, c)]
 
-Buffers keep the packed row dim (65/33) in the untiled outer dimension and pad the
-packed column dim to a sublane multiple (72/40), so the matmul reshapes
-[Hp, Wp, C] <-> [Hp*Wp, C] are relayout-free.
+(s4d_pad, computed once in XLA where strided relayouts are free; under the unrolled
+ADMM loop it CSEs to once per minibatch).  Stage 0 is ONE full-grid matmul against a
+block-diagonal weight kron(I_4, W0p): Y4 = xp4 @ W0big keeps y's four spatial
+parities in separate channel blocks, so the stage-1 packed input
 
-The input is pre-packed once in XLA (`s2d_pad`); under the unrolled ADMM loop that
-transform is iteration-invariant and CSEs to once per minibatch.  The head's input
-gradient is computed by a separate pallas_call so XLA can DCE it when the input is
-training data (the primary AE; the Fourier-variant AE consumes residuals and keeps it).
+    e0p[i, j, (a, b, f)] = elu(a0[2i + a - 1, 2j + b - 1, f] + b0)
+
+assembles from stride-1 shifted views of Y4: row index 2i + a - 1 + p of y lands in
+parity block alpha = 1 - (a XOR p) at row offset i - [a == 0 and p == 0].  Stage 1
+then consumes e0p with the ordinary single-packed identity.  The backward never
+leaves the packed domain at all (e0p's cotangent chains elementwise against the
+saved packed pre-activations), needs no parity unpack, and serves both gradients of
+each stage with one transposed matmul (dW = in^T @ dY, dIn = dY @ W^T).
+
+All grid/matmul reshapes keep the packed column dim padded to a sublane-tile
+multiple so [G, Q, Qp, C] <-> [G*Q*Qp, C] is relayout-free, and the whole G-sample
+block is processed as single batched matmuls (no per-sample loop in-kernel).
+
+The head's input gradient is computed by a separate pallas_call so XLA can DCE it
+when the head input is training data (the primary AE; the Fourier-variant AE
+consumes residuals and keeps it).
 """
 
 from __future__ import annotations
@@ -52,14 +65,19 @@ def pallas_conv_available() -> bool:
     return _HAS_PLTPU and jax.default_backend() == "tpu"
 
 
-def _pad8(n: int) -> int:
-    return (n + 7) // 8 * 8
+def _subtile(dtype) -> int:
+    """Sublane tile extent: 8 for 32-bit, 16 for bf16 (packed sublanes)."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+def _padto(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
 
 
 def _compiler_params(interpret: bool):
-    """Raised scoped-VMEM cap: thin-channel blocks pad lanes 4C->128, so the VMEM
-    footprint is ~8x the logical bytes and the default 16 MiB scope overflows at
-    useful G.  v5e has 128 MiB of VMEM."""
+    """Raised scoped-VMEM cap: the double-packed buffers hold the full G-block at
+    full resolution, so useful G needs more than the default 16 MiB scope.  v5e has
+    128 MiB of VMEM."""
     if interpret or not _HAS_PLTPU:
         return {}
     return {"compiler_params": pltpu.CompilerParams(
@@ -69,18 +87,35 @@ def _compiler_params(interpret: bool):
 # ------------------------------------------------------------------ XLA-side packing
 
 def s2d_pad(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, P, P, C] -> padded packed [B, P/2+1, pad8(P/2+1), 4C].
+    """[B, P, P, C] -> padded packed [B, P/2+1, pad(P/2+1), 4C] (single packing).
 
     packed channel (a, b, c): xp[i, j] = xpad[2i + a, 2j + b], xpad = pad(x, 1).
-    The packed column dim is zero-padded to a sublane multiple so the kernels'
-    [Hp, Wp, C] <-> [Hp*Wp, C] reshapes are relayout-free.
-    """
+    Kept for conv2d_s2_packed parity tests and the standalone probe."""
     n, h, w, c = x.shape
     hp = h // 2 + 1
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     xp = xp.reshape(n, hp, 2, hp, 2, c).transpose(0, 1, 3, 2, 4, 5)
     xp = xp.reshape(n, hp, hp, 4 * c)
-    return jnp.pad(xp, ((0, 0), (0, 0), (0, _pad8(hp) - hp), (0, 0)))
+    return jnp.pad(xp, ((0, 0), (0, 0), (0, _padto(hp, _subtile(x.dtype)) - hp),
+                        (0, 0)))
+
+
+def s4d_pad(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, P, P, C] -> double-packed [B, Q, pad(Q), 16C], Q = P/4 + 1.
+
+    Channel order (alpha, beta, a, b, c), value xpad2[4*i2 + 2*alpha + a,
+    4*j2 + 2*beta + b, c] with xpad2 = pad(x, ((1, 3), (1, 3))) — i.e. the
+    stage-0 packed grid xp's rows/columns split by parity:
+    xp4[i2, j2, (alpha, beta, :)] = xp[2*i2 + alpha, 2*j2 + beta, :]."""
+    n, h, w, c = x.shape
+    assert h == w and h % 4 == 0, (h, w)
+    q = h // 4 + 1
+    xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    xp = xp.reshape(n, q, 2, 2, q, 2, 2, c)       # (B, i2, alpha, a, j2, beta, b, c)
+    xp = xp.transpose(0, 1, 4, 2, 5, 3, 6, 7)     # (B, i2, j2, alpha, beta, a, b, c)
+    xp = xp.reshape(n, q, q, 16 * c)
+    return jnp.pad(xp, ((0, 0), (0, 0), (0, _padto(q, _subtile(x.dtype)) - q),
+                        (0, 0)))
 
 
 def pack_w(w4: jnp.ndarray) -> jnp.ndarray:
@@ -92,7 +127,7 @@ def pack_w(w4: jnp.ndarray) -> jnp.ndarray:
 
 
 def unpack_w(wp: jnp.ndarray, c: int, f: int) -> jnp.ndarray:
-    """Inverse of pack_w: [4C, 4F] -> HWIO [4, 4, C, F] (for the VJP cotangent)."""
+    """Inverse of pack_w: [4C, 4F] -> HWIO [4, 4, C, F]."""
     w = wp.reshape(2, 2, c, 2, 2, f)           # [a, b, c, p, q, f]
     return w.transpose(3, 0, 4, 1, 2, 5).reshape(4, 4, c, f)
 
@@ -109,172 +144,181 @@ def _elu_grad(a):
     return jnp.where(a > 0, jnp.ones_like(a), jnp.exp(a))
 
 
-def _conv_k2(grid3, w, H: int, F: int):
-    """k=2, s=1 VALID conv on a packed grid: [Hp, Wp, C] x [C, 4F] -> [H, H, F] f32.
-
-    One matmul over the UNSLICED grid + four shifted-view adds (taps never staged)."""
-    Hp, Wp, C = grid3.shape
-    y = jnp.dot(grid3.reshape(Hp * Wp, C), w,
-                preferred_element_type=jnp.float32).reshape(Hp, Wp, 4 * F)
-    return (y[0:H, 0:H, 0 * F:1 * F] + y[0:H, 1:H + 1, 1 * F:2 * F]
-            + y[1:H + 1, 0:H, 2 * F:3 * F] + y[1:H + 1, 1:H + 1, 3 * F:4 * F])
+def _shift(a: int, p: int) -> tuple[int, int]:
+    """Stage-0 parity bookkeeping: y row 2i + a - 1 + p lives in parity block
+    alpha at block-row i + di.  Returns (alpha, di)."""
+    return 1 - (a ^ p), (-1 if (a == 0 and p == 0) else 0)
 
 
-def _pack_phases(e, hp: int, wp: int, F: int, out_ref):
-    """Natural [H, H, F] -> padded packed [hp, wp, 4F] written into ``out_ref``.
+def _ch0(alpha: int, beta: int, p: int, q: int, F0: int) -> int:
+    """Channel offset of block (alpha, beta, p, q) in Y4's (alpha,beta,p,q,f) axis."""
+    return ((2 * alpha + beta) * 4 + (2 * p + q)) * F0
 
-    out[i, j, (a,b,f)] = epad[2i + a, 2j + b, f]; epad = pad(e, 1).  The row parity
-    lives in the untiled outer dim (free); the column parity is a stride-2 sublane
-    slice."""
-    H = e.shape[0]
-    h = H // 2
-    out_ref[:] = jnp.zeros((hp, wp, 4 * F), out_ref.dtype)
+
+def _stage0_y4(xp4_flat, w0_ref, G, Q, Qp, F0, ypad_ref):
+    """Y4 = xp4 @ W0big as one batched matmul, written into the zero-bordered
+    ypad scratch (border row/col 0 = y's out-of-range reads, exactly zero)."""
+    ypad_ref[:] = jnp.zeros(ypad_ref.shape, ypad_ref.dtype)
+    y4 = jnp.dot(xp4_flat, w0_ref[:],
+                 preferred_element_type=jnp.float32).reshape(G, Q, Qp, 16 * F0)
+    ypad_ref[:, 1:Q + 1, 1:Qp + 1, :] = y4
+
+
+def _phase_pre(ypad_ref, a: int, b: int, G: int, Q: int, Qp: int, F0: int, b0):
+    """Packed pre-activation of stage-0 phase (a, b): [G, Q, Qp, F0] f32, garbage at
+    the phase's invalid border (masked by interior-only writes downstream)."""
+    acc = None
+    for p in (0, 1):
+        al, di = _shift(a, p)
+        for q in (0, 1):
+            be, dj = _shift(b, q)
+            ch = _ch0(al, be, p, q, F0)
+            t = ypad_ref[:, 1 + di:1 + di + Q, 1 + dj:1 + dj + Qp, ch:ch + F0]
+            acc = t if acc is None else acc + t
+    return acc + b0
+
+
+def _stage0_e0p(xp4_flat, w0_ref, b0, G, Q, Qp, F0, ypad_ref, e0p_ref,
+                pre_ref=None):
+    """Fill e0p (packed stage-1 input, zero borders) and optionally save the
+    unmasked packed pre-activations for the backward's elu' chain."""
+    _stage0_y4(xp4_flat, w0_ref, G, Q, Qp, F0, ypad_ref)
+    H = Q - 1                                  # valid extent per phase
+    e0p_ref[:] = jnp.zeros(e0p_ref.shape, e0p_ref.dtype)
     for a in (0, 1):
         for b in (0, 1):
-            ph = (2 * a + b) * F
-            i0, j0 = 1 - a, 1 - b
-            # e[2i + a - 1, 2j + b - 1] for i in [i0, i0+h), j in [j0, j0+h)
-            r0, s0 = 2 * i0 + a - 1, 2 * j0 + b - 1
-            blk = jax.lax.slice(e, (r0, s0, 0),
-                                (r0 + 2 * h - 1, s0 + 2 * h - 1, F), (2, 2, 1))
-            out_ref[i0:i0 + h, j0:j0 + h, ph:ph + F] = blk.astype(out_ref.dtype)
+            pre = _phase_pre(ypad_ref, a, b, G, Q, Qp, F0, b0)
+            ph = (2 * a + b) * F0
+            if pre_ref is not None:
+                pre_ref[:, :, :, ph:ph + F0] = pre
+            ra, cb = 1 - a, 1 - b
+            e0p_ref[:, ra:ra + H, cb:cb + H, ph:ph + F0] = (
+                _elu(pre[:, ra:ra + H, cb:cb + H, :]).astype(e0p_ref.dtype))
 
 
-def _unpack_phases(dp, H: int, F: int):
-    """Padded packed [hp, wp, 4F] -> natural [H, H, F] (inverse of _pack_phases)."""
-    h = H // 2
-
-    def blk(a, b):
-        ph = (2 * a + b) * F
-        i0, j0 = 1 - a, 1 - b
-        return dp[i0:i0 + h, j0:j0 + h, ph:ph + F]
-
-    # natural row 2u + r: r=0 -> phase a=1; r=1 -> phase a=0 (same for columns)
-    row0 = jnp.concatenate([blk(1, 1)[:, :, None, :], blk(1, 0)[:, :, None, :]],
-                           axis=2)                       # [h, h, 2, F] (cols of 2u rows)
-    row1 = jnp.concatenate([blk(0, 1)[:, :, None, :], blk(0, 0)[:, :, None, :]],
-                           axis=2)
-    t = jnp.concatenate([row0[:, None], row1[:, None]], axis=1)  # [h, 2, h, 2, F]
-    return t.reshape(H, H, F)
-
-
-def _fill_z(dpre, H: int, F: int, z_ref):
-    """Shifted-copies buffer: z[i, j, (p,q,f)] = dpre[i - p, j - q, f] (zeros outside).
-
-    Serves both backward matmuls of a k=2 VALID conv: dW = grid^T @ Z, dIn = Z @ W^T."""
-    z_ref[:] = jnp.zeros(z_ref.shape, z_ref.dtype)
-    v = dpre.astype(z_ref.dtype)
+def _stage1_a1(e0p_ref, w1_ref, b1, G, Q, Qp, F1, H1):
+    """Stage-1 pre-activation on the packed e0p: one matmul + four shifted adds."""
+    y1 = jnp.dot(e0p_ref[:].reshape(G * Q * Qp, e0p_ref.shape[-1]), w1_ref[:],
+                 preferred_element_type=jnp.float32).reshape(G, Q, Qp, 4 * F1)
+    acc = None
     for p in (0, 1):
         for q in (0, 1):
-            ph = (2 * p + q) * F
-            z_ref[p:p + H, q:q + H, ph:ph + F] = v
+            ch = (2 * p + q) * F1
+            t = y1[:, p:p + H1, q:q + H1, ch:ch + F1]
+            acc = t if acc is None else acc + t
+    return acc + b1
 
 
 # ------------------------------------------------------------------- forward kernel
 
-def _enc_head_fwd_kernel(G, C4, F0, F1, H0, H1,
-                         xp_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref, e0p_ref):
-    w0 = w0_ref[:]
-    b0 = b0_ref[:]
-    w1 = w1_ref[:]
-    b1 = b1_ref[:]
-    hp1, wp1 = e0p_ref.shape[0], e0p_ref.shape[1]
-    for g in range(G):
-        a0 = _conv_k2(xp_ref[g], w0, H0, F0) + b0
-        e0 = _elu(a0).astype(xp_ref.dtype)
-        _pack_phases(e0, hp1, wp1, F0, e0p_ref)
-        a1 = _conv_k2(e0p_ref[:], w1, H1, F1) + b1
-        out_ref[g] = _elu(a1).astype(out_ref.dtype)
+def _fwd_kernel(G, Q, Qp, F0, F1, H1,
+                xp4_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref,
+                ypad_ref, e0p_ref):
+    xp4_flat = xp4_ref[:].reshape(G * Q * Qp, xp4_ref.shape[-1])
+    _stage0_e0p(xp4_flat, w0_ref, b0_ref[:].astype(jnp.float32),
+                G, Q, Qp, F0, ypad_ref, e0p_ref)
+    a1 = _stage1_a1(e0p_ref, w1_ref, b1_ref[:].astype(jnp.float32),
+                    G, Q, Qp, F1, H1)
+    out_ref[:] = _elu(a1).astype(out_ref.dtype)
 
 
-def _enc_head_fwd_call(xp, w0p, b0, w1p, b1, G: int, interpret: bool):
-    B, hp0, wp0, C4 = xp.shape
-    F0 = w0p.shape[1] // 4
+def _scratch(xp4, F0, F1, Q, Qp, G, with_bwd: bool):
+    st = _subtile(xp4.dtype)
+    ypad = pltpu.VMEM((G, Q + 1, _padto(Qp + 1, 8), 16 * F0), jnp.float32)
+    e0p = pltpu.VMEM((G, Q, Qp, 4 * F0), xp4.dtype)
+    if not with_bwd:
+        return [ypad, e0p], st
+    pre = pltpu.VMEM((G, Q, Qp, 4 * F0), jnp.float32)
+    z1 = pltpu.VMEM((G, Q, Qp, 4 * F1), jnp.float32)
+    return [ypad, e0p, pre, z1], st
+
+
+def _fwd_call(xp4, w0big, b0, w1p, b1, G: int, interpret: bool):
+    B, Q, Qp, C16 = xp4.shape
+    F0 = w0big.shape[1] // 16
     F1 = w1p.shape[1] // 4
-    H0 = hp0 - 1                      # 64
-    H1 = H0 // 2                      # 32
-    hp1, wp1 = H1 + 1, _pad8(H1 + 1)
+    H1 = Q - 1
     vm = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
-    scratch = [pltpu.VMEM((hp1, wp1, 4 * F0), xp.dtype)]
+    scratch, _ = (_scratch(xp4, F0, F1, Q, Qp, G, False) if _HAS_PLTPU
+                  else ([], 8))
     return pl.pallas_call(
-        functools.partial(_enc_head_fwd_kernel, G, C4, F0, F1, H0, H1),
+        functools.partial(_fwd_kernel, G, Q, Qp, F0, F1, H1),
         grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((G, hp0, wp0, C4), lambda i: (i, 0, 0, 0), **vm),
-            pl.BlockSpec(w0p.shape, lambda i: (0, 0), **vm),
+            pl.BlockSpec((G, Q, Qp, C16), lambda i: (i, 0, 0, 0), **vm),
+            pl.BlockSpec(w0big.shape, lambda i: (0, 0), **vm),
             pl.BlockSpec((1, F0), lambda i: (0, 0), **vm),
             pl.BlockSpec(w1p.shape, lambda i: (0, 0), **vm),
             pl.BlockSpec((1, F1), lambda i: (0, 0), **vm),
         ],
         out_specs=pl.BlockSpec((G, H1, H1, F1), lambda i: (i, 0, 0, 0), **vm),
-        out_shape=jax.ShapeDtypeStruct((B, H1, H1, F1), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H1, H1, F1), xp4.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
         **_compiler_params(interpret),
-    )(xp, w0p, b0.reshape(1, F0).astype(xp.dtype), w1p,
-      b1.reshape(1, F1).astype(xp.dtype))
+    )(xp4, w0big, b0.reshape(1, F0).astype(jnp.float32), w1p,
+      b1.reshape(1, F1).astype(jnp.float32))
 
 
 # ------------------------------------------------------------------ backward kernels
 
-def _enc_head_bwd_call(xp, w0p, b0, w1p, b1, g1, G: int, interpret: bool):
-    B, hp0, wp0, C4 = xp.shape
-    F0 = w0p.shape[1] // 4
-    F1 = w1p.shape[1] // 4
-    H0 = hp0 - 1
-    H1 = H0 // 2
-    hp1, wp1 = H1 + 1, _pad8(H1 + 1)
-    vm = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
-    kernel = functools.partial(_enc_head_bwd_kernel, G, C4, F0, F1, H0, H1)
-    dw0, db0, dw1, db1 = pl.pallas_call(
-        kernel,
-        grid=(B // G,),
-        in_specs=[
-            pl.BlockSpec((G, hp0, wp0, C4), lambda i: (i, 0, 0, 0), **vm),
-            pl.BlockSpec(w0p.shape, lambda i: (0, 0), **vm),
-            pl.BlockSpec((1, F0), lambda i: (0, 0), **vm),
-            pl.BlockSpec(w1p.shape, lambda i: (0, 0), **vm),
-            pl.BlockSpec((1, F1), lambda i: (0, 0), **vm),
-            pl.BlockSpec((G, H1, H1, F1), lambda i: (i, 0, 0, 0), **vm),
-        ],
-        out_specs=(
-            pl.BlockSpec(w0p.shape, lambda i: (0, 0), **vm),
-            pl.BlockSpec((1, F0), lambda i: (0, 0), **vm),
-            pl.BlockSpec(w1p.shape, lambda i: (0, 0), **vm),
-            pl.BlockSpec((1, F1), lambda i: (0, 0), **vm),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(w0p.shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, F0), jnp.float32),
-            jax.ShapeDtypeStruct(w1p.shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, F1), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((hp1, wp1, 4 * F0), xp.dtype),
-            pltpu.VMEM((hp1, wp1, 4 * F1), jnp.float32),
-            pltpu.VMEM((hp0, wp0, 4 * F0), jnp.float32),
-        ],
-        interpret=interpret,
-        **_compiler_params(interpret),
-    )(xp, w0p, b0.reshape(1, F0).astype(xp.dtype), w1p,
-      b1.reshape(1, F1).astype(xp.dtype), g1)
-    return dw0, db0[0], dw1, db1[0]
+def _bwd_common(G, Q, Qp, F0, F1, H1,
+                xp4_ref, w0_ref, b0_ref, w1_ref, g1_ref,
+                ypad_ref, e0p_ref, pre_ref, z1_ref, b1_ref):
+    """Shared rematerialization + cotangent plumbing for both backward kernels.
+
+    Returns (xp4_flat, dpre1, phase bias sums); ypad_ref ends holding dYpad —
+    Y4 is dead once the packed pre-activations are saved in pre_ref, so the
+    largest scratch is reused as the cotangent buffer (halves peak VMEM)."""
+    xp4_flat = xp4_ref[:].reshape(G * Q * Qp, xp4_ref.shape[-1])
+    _stage0_e0p(xp4_flat, w0_ref, b0_ref[:].astype(jnp.float32),
+                G, Q, Qp, F0, ypad_ref, e0p_ref, pre_ref)
+    dypad_ref = ypad_ref          # Y4 dead from here on; alias as dYpad
+    a1 = _stage1_a1(e0p_ref, w1_ref, b1_ref[:].astype(jnp.float32),
+                    G, Q, Qp, F1, H1)
+    dpre1 = g1_ref[:].astype(jnp.float32) * _elu_grad(a1)
+
+    # stage-1 shifted-copies buffer: z1[i,j,(p,q,f)] = dpre1[i-p, j-q, f]
+    z1_ref[:] = jnp.zeros(z1_ref.shape, z1_ref.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            ch = (2 * p + q) * F1
+            z1_ref[:, p:p + H1, q:q + H1, ch:ch + F1] = dpre1
+
+    # e0p cotangent (packed domain; no parity unpack needed)
+    de0p = jnp.dot(z1_ref[:].reshape(G * Q * Qp, 4 * F1),
+                   w1_ref[:].astype(jnp.float32).T,
+                   preferred_element_type=jnp.float32).reshape(G, Q, Qp, 4 * F0)
+
+    # dY4 (transpose of the forward's shifted reads), masked to each phase's valid
+    # interior — invalid e0p entries are constant zero, so no gradient flows there
+    dypad_ref[:] = jnp.zeros(dypad_ref.shape, dypad_ref.dtype)
+    H = Q - 1
+    phase_sums = []
+    for a in (0, 1):
+        for b in (0, 1):
+            ph = (2 * a + b) * F0
+            ra, cb = 1 - a, 1 - b
+            dint = (de0p[:, ra:ra + H, cb:cb + H, ph:ph + F0]
+                    * _elu_grad(pre_ref[:, ra:ra + H, cb:cb + H, ph:ph + F0]))
+            phase_sums.append(jnp.sum(dint, axis=(0, 1, 2)))
+            for p in (0, 1):
+                al, di = _shift(a, p)
+                for q in (0, 1):
+                    be, dj = _shift(b, q)
+                    ch = _ch0(al, be, p, q, F0)
+                    dypad_ref[:, 1 + di + ra:1 + di + ra + H,
+                              1 + dj + cb:1 + dj + cb + H, ch:ch + F0] = dint
+    return xp4_flat, dpre1, phase_sums
 
 
-def _enc_head_bwd_kernel(G, C4, F0, F1, H0, H1,
-                         xp_ref, w0_ref, b0_ref, w1_ref, b1_ref, g1_ref,
-                         dw0_ref, db0_ref, dw1_ref, db1_ref,
-                         e0p_ref, z1_ref, z0_ref):
-    """Rematerializing backward: weight/bias grads for both stages as f32 accumulators
-    across the sequential grid (same-block outputs); the head input's cotangent is a
-    separate pallas_call (``_enc_head_dx_call``) so XLA can DCE it when the input is
-    training data."""
-    w0 = w0_ref[:]
-    b0 = b0_ref[:]
-    w1 = w1_ref[:]
-    b1 = b1_ref[:]
-    hp0, wp0 = xp_ref.shape[1], xp_ref.shape[2]
-    hp1, wp1 = e0p_ref.shape[0], e0p_ref.shape[1]
+def _bwd_kernel(G, Q, Qp, F0, F1, H1,
+                xp4_ref, w0_ref, b0_ref, w1_ref, b1_ref, g1_ref,
+                dw0_ref, db0_ref, dw1_ref, db1_ref,
+                ypad_ref, e0p_ref, pre_ref, z1_ref):
+    """Weight/bias grads for both stages, f32-accumulated across the sequential
+    grid (same-block outputs); the head input's cotangent is a separate pallas_call
+    (``_dx_call``) so XLA can DCE it when the input is training data."""
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -283,133 +327,153 @@ def _enc_head_bwd_kernel(G, C4, F0, F1, H0, H1,
         dw1_ref[:] = jnp.zeros(dw1_ref.shape, dw1_ref.dtype)
         db1_ref[:] = jnp.zeros(db1_ref.shape, db1_ref.dtype)
 
-    for g in range(G):
-        a0 = _conv_k2(xp_ref[g], w0, H0, F0) + b0
-        e0 = _elu(a0).astype(xp_ref.dtype)
-        _pack_phases(e0, hp1, wp1, F0, e0p_ref)
-        a1 = _conv_k2(e0p_ref[:], w1, H1, F1) + b1
-        dpre1 = g1_ref[g].astype(jnp.float32) * _elu_grad(a1)
-        _fill_z(dpre1, H1, F1, z1_ref)
-        zflat1 = z1_ref[:].reshape(hp1 * wp1, 4 * F1)
-        e0flat = e0p_ref[:].reshape(hp1 * wp1, 4 * F0).astype(jnp.float32)
-        dw1_ref[:] += jnp.dot(e0flat.T, zflat1, preferred_element_type=jnp.float32)
-        db1_ref[:] += jnp.sum(dpre1, axis=(0, 1))[None, :]
-        de0p = jnp.dot(zflat1, w1.astype(jnp.float32).T,
-                       preferred_element_type=jnp.float32).reshape(hp1, wp1, 4 * F0)
-        de0 = _unpack_phases(de0p, H0, F0)
-        dpre0 = de0 * _elu_grad(a0)
-        _fill_z(dpre0, H0, F0, z0_ref)
-        zflat0 = z0_ref[:].reshape(hp0 * wp0, 4 * F0)
-        xpflat = xp_ref[g].reshape(hp0 * wp0, C4).astype(jnp.float32)
-        dw0_ref[:] += jnp.dot(xpflat.T, zflat0, preferred_element_type=jnp.float32)
-        db0_ref[:] += jnp.sum(dpre0, axis=(0, 1))[None, :]
+    xp4_flat, dpre1, phase_sums = _bwd_common(
+        G, Q, Qp, F0, F1, H1, xp4_ref, w0_ref, b0_ref, w1_ref, g1_ref,
+        ypad_ref, e0p_ref, pre_ref, z1_ref, b1_ref)
+
+    db1_ref[:] += jnp.sum(dpre1, axis=(0, 1, 2))[None, :]
+    dw1_ref[:] += jnp.dot(
+        e0p_ref[:].reshape(G * Q * Qp, 4 * F0).astype(jnp.float32).T,
+        z1_ref[:].reshape(G * Q * Qp, 4 * F1),
+        preferred_element_type=jnp.float32)
+    db0_ref[:] += jnp.concatenate(phase_sums)[None, :]
+    dy4 = ypad_ref[:, 1:Q + 1, 1:Qp + 1, :].reshape(G * Q * Qp, 16 * F0)
+    dw0_ref[:] += jnp.dot(xp4_flat.astype(jnp.float32).T, dy4,
+                          preferred_element_type=jnp.float32)
 
 
-def _enc_head_dx_kernel(G, C4, F0, F1, H0, H1,
-                        xp_ref, w0_ref, b0_ref, w1_ref, b1_ref, g1_ref,
-                        dxp_ref, e0p_ref, z1_ref, z0_ref):
-    """Input cotangent (packed domain): needed only when the head's input requires
-    gradients (the Fourier-variant AE, whose input is the residual)."""
-    w0 = w0_ref[:]
-    b0 = b0_ref[:]
-    w1 = w1_ref[:]
-    b1 = b1_ref[:]
-    hp1, wp1 = e0p_ref.shape[0], e0p_ref.shape[1]
-    for g in range(G):
-        a0 = _conv_k2(xp_ref[g], w0, H0, F0) + b0
-        e0 = _elu(a0).astype(xp_ref.dtype)
-        _pack_phases(e0, hp1, wp1, F0, e0p_ref)
-        a1 = _conv_k2(e0p_ref[:], w1, H1, F1) + b1
-        dpre1 = g1_ref[g].astype(jnp.float32) * _elu_grad(a1)
-        _fill_z(dpre1, H1, F1, z1_ref)
-        de0p = jnp.dot(z1_ref[:].reshape(hp1 * wp1, 4 * F1),
-                       w1.astype(jnp.float32).T,
-                       preferred_element_type=jnp.float32).reshape(hp1, wp1, 4 * F0)
-        de0 = _unpack_phases(de0p, H0, F0)
-        dpre0 = de0 * _elu_grad(a0)
-        _fill_z(dpre0, H0, F0, z0_ref)
-        dxp_ref[g] = jnp.dot(
-            z0_ref[:].reshape(z0_ref.shape[0] * z0_ref.shape[1], 4 * F0),
-            w0.astype(jnp.float32).T, preferred_element_type=jnp.float32,
-        ).reshape(dxp_ref.shape[1], dxp_ref.shape[2], C4).astype(dxp_ref.dtype)
-
-
-def _enc_head_dx_call(xp, w0p, b0, w1p, b1, g1, G: int, interpret: bool):
-    B, hp0, wp0, C4 = xp.shape
-    F0 = w0p.shape[1] // 4
+def _bwd_call(xp4, w0big, b0, w1p, b1, g1, G: int, interpret: bool):
+    B, Q, Qp, C16 = xp4.shape
+    F0 = w0big.shape[1] // 16
     F1 = w1p.shape[1] // 4
-    H0 = hp0 - 1
-    H1 = H0 // 2
-    hp1, wp1 = H1 + 1, _pad8(H1 + 1)
+    H1 = Q - 1
     vm = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
-    return pl.pallas_call(
-        functools.partial(_enc_head_dx_kernel, G, C4, F0, F1, H0, H1),
+    scratch, _ = (_scratch(xp4, F0, F1, Q, Qp, G, True) if _HAS_PLTPU
+                  else ([], 8))
+    dw0, db0p, dw1, db1 = pl.pallas_call(
+        functools.partial(_bwd_kernel, G, Q, Qp, F0, F1, H1),
         grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((G, hp0, wp0, C4), lambda i: (i, 0, 0, 0), **vm),
-            pl.BlockSpec(w0p.shape, lambda i: (0, 0), **vm),
+            pl.BlockSpec((G, Q, Qp, C16), lambda i: (i, 0, 0, 0), **vm),
+            pl.BlockSpec(w0big.shape, lambda i: (0, 0), **vm),
             pl.BlockSpec((1, F0), lambda i: (0, 0), **vm),
             pl.BlockSpec(w1p.shape, lambda i: (0, 0), **vm),
             pl.BlockSpec((1, F1), lambda i: (0, 0), **vm),
             pl.BlockSpec((G, H1, H1, F1), lambda i: (i, 0, 0, 0), **vm),
         ],
-        out_specs=pl.BlockSpec((G, hp0, wp0, C4), lambda i: (i, 0, 0, 0), **vm),
-        out_shape=jax.ShapeDtypeStruct((B, hp0, wp0, C4), xp.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((hp1, wp1, 4 * F0), xp.dtype),
-            pltpu.VMEM((hp1, wp1, 4 * F1), jnp.float32),
-            pltpu.VMEM((hp0, wp0, 4 * F0), jnp.float32),
-        ],
+        out_specs=(
+            pl.BlockSpec(w0big.shape, lambda i: (0, 0), **vm),
+            pl.BlockSpec((1, 4 * F0), lambda i: (0, 0), **vm),
+            pl.BlockSpec(w1p.shape, lambda i: (0, 0), **vm),
+            pl.BlockSpec((1, F1), lambda i: (0, 0), **vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(w0big.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * F0), jnp.float32),
+            jax.ShapeDtypeStruct(w1p.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, F1), jnp.float32),
+        ),
+        scratch_shapes=scratch,
         interpret=interpret,
         **_compiler_params(interpret),
-    )(xp, w0p, b0.reshape(1, F0).astype(xp.dtype), w1p,
-      b1.reshape(1, F1).astype(xp.dtype), g1)
+    )(xp4, w0big, b0.reshape(1, F0).astype(jnp.float32), w1p,
+      b1.reshape(1, F1).astype(jnp.float32), g1)
+    # fold the per-phase bias sums (a, b, f) -> f
+    return dw0, jnp.sum(db0p.reshape(4, F0), axis=0), dw1, db1[0]
+
+
+def _dx_kernel(G, Q, Qp, F0, F1, H1,
+               xp4_ref, w0_ref, b0_ref, w1_ref, b1_ref, g1_ref, dxp4_ref,
+               ypad_ref, e0p_ref, pre_ref, z1_ref):
+    """Input cotangent (double-packed domain): needed only when the head's input
+    requires gradients (the Fourier-variant AE, whose input is the residual)."""
+    _, _, _ = _bwd_common(
+        G, Q, Qp, F0, F1, H1, xp4_ref, w0_ref, b0_ref, w1_ref, g1_ref,
+        ypad_ref, e0p_ref, pre_ref, z1_ref, b1_ref)
+    dy4 = ypad_ref[:, 1:Q + 1, 1:Qp + 1, :].reshape(G * Q * Qp, 16 * F0)
+    dxp4_ref[:] = jnp.dot(
+        dy4, w0_ref[:].astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    ).reshape(G, Q, Qp, xp4_ref.shape[-1]).astype(dxp4_ref.dtype)
+
+
+def _dx_call(xp4, w0big, b0, w1p, b1, g1, G: int, interpret: bool):
+    B, Q, Qp, C16 = xp4.shape
+    F0 = w0big.shape[1] // 16
+    F1 = w1p.shape[1] // 4
+    H1 = Q - 1
+    vm = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
+    scratch, _ = (_scratch(xp4, F0, F1, Q, Qp, G, True) if _HAS_PLTPU
+                  else ([], 8))
+    return pl.pallas_call(
+        functools.partial(_dx_kernel, G, Q, Qp, F0, F1, H1),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, Q, Qp, C16), lambda i: (i, 0, 0, 0), **vm),
+            pl.BlockSpec(w0big.shape, lambda i: (0, 0), **vm),
+            pl.BlockSpec((1, F0), lambda i: (0, 0), **vm),
+            pl.BlockSpec(w1p.shape, lambda i: (0, 0), **vm),
+            pl.BlockSpec((1, F1), lambda i: (0, 0), **vm),
+            pl.BlockSpec((G, H1, H1, F1), lambda i: (i, 0, 0, 0), **vm),
+        ],
+        out_specs=pl.BlockSpec((G, Q, Qp, C16), lambda i: (i, 0, 0, 0), **vm),
+        out_shape=jax.ShapeDtypeStruct((B, Q, Qp, C16), xp4.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **_compiler_params(interpret),
+    )(xp4, w0big, b0.reshape(1, F0).astype(jnp.float32), w1p,
+      b1.reshape(1, F1).astype(jnp.float32), g1)
 
 
 # --------------------------------------------------------------------- custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def enc_head_packed(xp, w0p, b0, w1p, b1, G: int = 4, interpret: bool = False):
-    """elu(conv1(elu(conv0(.)))) on a pre-packed input (see ``s2d_pad``/``pack_w``).
+def enc_head_packed(xp4, w0big, b0, w1p, b1, G: int = 4, interpret: bool = False):
+    """elu(conv1(elu(conv0(.)))) on a double-packed input (see ``s4d_pad``).
 
-    xp [B, 65, 72, 4C] packed input; w0p [4C, 4F0]; w1p [4F0, 4F1].
-    Returns [B, 32, 32, F1] natural NHWC.
+    xp4 [B, Q, Qp, 16C] double-packed input; w0big [16C, 16F0] = kron(I_4, pack_w(w0))
+    (block-diagonal — XLA autodiff through the kron folds dW0big's diagonal blocks
+    back to dW0); w1p [4F0, 4F1] = pack_w(w1).  Returns [B, P/4, P/4, F1] natural
+    NHWC.
     """
-    return _enc_head_fwd_call(xp, w0p, b0, w1p, b1, G, interpret)
+    return _fwd_call(xp4, w0big, b0, w1p, b1, G, interpret)
 
 
-def _enc_head_vjp_fwd(xp, w0p, b0, w1p, b1, G: int, interpret: bool):
-    out = _enc_head_fwd_call(xp, w0p, b0, w1p, b1, G, interpret)
-    return out, (xp, w0p, b0, w1p, b1)
+def _vjp_fwd(xp4, w0big, b0, w1p, b1, G: int, interpret: bool):
+    out = _fwd_call(xp4, w0big, b0, w1p, b1, G, interpret)
+    return out, (xp4, w0big, b0, w1p, b1)
 
 
-def _enc_head_vjp_bwd(G: int, interpret: bool, res, g1):
-    xp, w0p, b0, w1p, b1 = res
-    dw0, db0, dw1, db1 = _enc_head_bwd_call(xp, w0p, b0, w1p, b1, g1, G, interpret)
+def _vjp_bwd(G: int, interpret: bool, res, g1):
+    xp4, w0big, b0, w1p, b1 = res
+    dw0, db0, dw1, db1 = _bwd_call(xp4, w0big, b0, w1p, b1, g1, G, interpret)
     # Input cotangent as its own pallas_call: when the head input is training data
     # (no gradient needed) XLA dead-code-eliminates this call entirely.
-    dxp = _enc_head_dx_call(xp, w0p, b0, w1p, b1, g1, G, interpret).astype(xp.dtype)
-    return (dxp, dw0.astype(w0p.dtype), db0.astype(b0.dtype),
+    dxp4 = _dx_call(xp4, w0big, b0, w1p, b1, g1, G, interpret).astype(xp4.dtype)
+    return (dxp4, dw0.astype(w0big.dtype), db0.astype(b0.dtype),
             dw1.astype(w1p.dtype), db1.astype(b1.dtype))
 
 
-enc_head_packed.defvjp(_enc_head_vjp_fwd, _enc_head_vjp_bwd)
+enc_head_packed.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def enc_head(x, w0_hwio, b0, w1_hwio, b1, G: int = 4, interpret: bool | None = None):
+def enc_head(x, w0_hwio, b0, w1_hwio, b1, G: int = 10, interpret: bool | None = None):
     """Convenience wrapper on natural NHWC input [B, P, P, C] and HWIO kernels.
 
     Equivalent (parity-tested) to
         elu(conv1(elu(conv0(x) + b0)) + b1)
-    with conv = k=4, s=2, p=1.  ``interpret=None`` auto-selects interpret mode off-TPU
-    (hermetic CPU tests), matching the khm_pallas convention."""
+    with conv = k=4, s=2, p=1 (the reference encoder's two outermost stages,
+    reference: src/lofar_models.py:31-34).  ``interpret=None`` auto-selects
+    interpret mode off-TPU (hermetic CPU tests), matching the khm_pallas
+    convention.  G=10 default: the backward kernel compiles up to G=10 on v5e
+    (G=15 crashes the Mosaic compile helper; bisected 2026-08-19)."""
     if interpret is None:
         interpret = not pallas_conv_available()
     B = x.shape[0]
     g = min(G, B)
     while B % g:                      # largest divisor of B not above G (grid must
         g -= 1                        # cover the batch exactly; leftover rows would
-    xp = s2d_pad(x)                   # come back uninitialized)
-    w0p = pack_w(w0_hwio).astype(x.dtype)
+    xp4 = s4d_pad(x)                  # come back uninitialized)
+    w0big = jnp.kron(jnp.eye(4, dtype=x.dtype), pack_w(w0_hwio).astype(x.dtype))
     w1p = pack_w(w1_hwio).astype(x.dtype)
-    return enc_head_packed(xp, w0p, b0, w1p, b1, g, interpret)
+    return enc_head_packed(xp4, w0big, b0, w1p, b1, g, interpret)
