@@ -494,15 +494,21 @@ def main():
 
     # Secondaries only inside the remaining budget; each prints a refreshed headline
     # line so the LAST stdout line is always the fullest valid result.
+    # Order = priority under a shrinking wall budget AND blast-radius control: a
+    # TimeoutError leaves the worker thread stuck in a C call, so everything after
+    # the stuck secondary is lost (os._exit below).  lbfgs is the certified
+    # reference training mode (README.md:24-30) and runs right after the cheap
+    # cached-eval; peak (a fresh batch-840 compile, the most likely to blow its
+    # budget on a loaded relay) goes LAST so a hang there costs nothing.
     secondaries = [("eval", measure_ours_eval)]
-    if not os.environ.get("LSHM_BENCH_SKIP_PEAK"):
-        secondaries.append(("peak", measure_ours_peak))
     if not os.environ.get("LSHM_BENCH_SKIP_LBFGS"):
         secondaries.append(("lbfgs", measure_ours_lbfgs))
     # f32 control is redundant when the headline itself was overridden to float32
     if (not os.environ.get("LSHM_BENCH_SKIP_F32")
             and detail.get("compute_dtype") != "float32"):
         secondaries.append(("f32", measure_ours_f32))
+    if not os.environ.get("LSHM_BENCH_SKIP_PEAK"):
+        secondaries.append(("peak", measure_ours_peak))
     compile_cost = detail.get("compile_sec", 120.0)
     for name, fn in secondaries:
         elapsed = time.perf_counter() - t_start
