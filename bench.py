@@ -83,7 +83,14 @@ def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",
                     remat: bool = False, compute_dtype: str = "float32",
                     nadmm: int = NADMM):
     """Shared benchmark scaffolding: flagship config + model + a random baseline-major
-    minibatch of ``batch`` patches over ``nbase`` baselines."""
+    minibatch of ``batch`` patches over ``nbase`` baselines.
+
+    The L-BFGS path lowers its ADMM loop as one lax.scan
+    (``admm_unroll_lbfgs=False``, the full_khm_lbfgs preset default this secondary
+    certifies): measured perf-neutral for L-BFGS (the line-search while loops
+    partition the program either way; benchmarks/lbfgs_decompose.py round 4) and
+    the compile cost stops scaling with admm_iters (was 148 s at nadmm=2
+    unrolled, BENCH_r04).  The Adam path keeps the unrolled lowering (6.4x)."""
     from lshm_tpu.config import (
         Config, DataConfig, LBFGSConfig, ModelConfig, OptimConfig, TrainConfig,
     )
@@ -100,7 +107,7 @@ def _flagship_setup(batch: int, nbase: int, optimizer: str = "adam",
             lbfgs=LBFGSConfig(history_size=7, max_iter=4, line_search=True,
                               batch_mode=True),
         ),
-        train=TrainConfig(admm_iters=nadmm, remat=remat),
+        train=TrainConfig(admm_iters=nadmm, remat=remat, admm_unroll_lbfgs=False),
     )
     model = CascadedAE(cfg=cfg.model)
     key = jax.random.PRNGKey(0)
@@ -290,16 +297,16 @@ def measure_ours_lbfgs() -> dict:
     two-point timing; same unit of work per ADMM iteration as the reference's
     LBFGSNew mode.
 
-    BENCH_r03's lbfgs secondary timed out COMPILING: the nadmm=10 unrolled chain of
-    nested while-loop line searches is a very large program.  The timed chain here
-    unrolls nadmm=2 per step call (override: LSHM_BENCH_LBFGS_NADMM) and normalizes
-    per ADMM iteration — honest per-unit accounting (the per-call fixed overhead,
-    ~1.4 ms, is amortized over 2 iterations instead of 10 and is REPORTED via
-    lbfgs_nadmm); compilation goes through the persistent cache and is reported
-    separately, outside the timed window."""
+    BENCH_r03's lbfgs secondary timed out COMPILING the nadmm=10 *unrolled* chain,
+    and BENCH_r04's nadmm=2 fallback still burned 148 s recompiling it.  Round 5
+    lowers the L-BFGS ADMM loop as one lax.scan (see _flagship_setup), so this
+    secondary now runs the full reference nadmm=10 unit of work (override:
+    LSHM_BENCH_LBFGS_NADMM) with an admm_iters-independent compile; compilation
+    additionally goes through the persistent cache and is reported separately,
+    outside the timed window."""
     from lshm_tpu.train import LossWeights, init_lbfgs_train_state, make_lbfgs_train_step
 
-    nadmm = int(os.environ.get("LSHM_BENCH_LBFGS_NADMM", "2"))
+    nadmm = int(os.environ.get("LSHM_BENCH_LBFGS_NADMM", str(NADMM)))
     # mixed-precision closure (bf16 conv/dense activations, f32 residual/loss path —
     # the full_khm_lbfgs preset default): the f32 Armijo comparisons keep the search
     # trajectory near-identical to the f32 closure (same func_evals + loss to 7e-6

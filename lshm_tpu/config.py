@@ -234,6 +234,15 @@ class TrainConfig:
     # is a pure win for the static, small admm_iters counts used here (compile time
     # scales with admm_iters; the math is identical either way).
     admm_unroll: bool = True
+    # L-BFGS path override for admm_unroll (None = inherit).  Unlike the Adam body,
+    # the L-BFGS iteration is dominated by its data-dependent line-search while
+    # loops, which partition the program either way — unrolling is perf-NEUTRAL
+    # there (83.0 vs 83.3 ms/iter, benchmarks/lbfgs_decompose.py round 4) while
+    # compile time scales with admm_iters (148 s at nadmm=2 unrolled).  Set False
+    # to lower the L-BFGS ADMM loop as one lax.scan: same math and speed,
+    # admm_iters-independent compile (the full-recipe default via the
+    # full_khm_lbfgs preset and benchmarks/recipe_run.py).
+    admm_unroll_lbfgs: bool | None = None
     skip_nonfinite: bool = True       # drop minibatches whose step produced NaN/Inf loss
                                       # (keep previous state) — the explicit version of
                                       # the reference's scattered NaN tolerance
@@ -337,8 +346,13 @@ def preset(name: str) -> Config:
         # flagship dims, +/-1 func_eval on small probes, ~10% faster per step
         # (benchmarks/PERF_NOTES.md round 4; accuracy gate:
         # tests/test_bf16.py::test_lbfgs_bf16_tracks_f32).
+        # admm_unroll_lbfgs=False: the L-BFGS ADMM loop lowers as one lax.scan —
+        # measured perf-neutral (line-search while loops dominate either way) and
+        # the compile cost stops scaling with admm_iters (148 s at nadmm=2
+        # unrolled; the Adam path keeps the 6.4x-faster unrolled lowering).
         return base.replace(
             model=dataclasses.replace(base.model, compute_dtype="bfloat16"),
             optim=OptimConfig(optimizer="lbfgs", group_schedule=("ae2d", "ae1d", "khm")),
+            train=dataclasses.replace(base.train, admm_unroll_lbfgs=False),
         )
     raise ValueError(f"unknown preset: {name}")

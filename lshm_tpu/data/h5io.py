@@ -212,6 +212,10 @@ def read_baselines_patches_batch(
     Returns (patchx, patchy, patches [B*ppb, ps, ps, C], [uv [B*ppb, 2]],
     [station_pairs [B, 2]]).
     """
+    if len(baseline_ids) == 0:
+        raise ValueError(
+            "read_baselines_patches_batch: baseline_ids must be non-empty"
+        )
     if use_native is None:
         from lshm_tpu import native
 

@@ -65,6 +65,18 @@ def pallas_conv_available() -> bool:
     return _HAS_PLTPU and jax.default_backend() == "tpu"
 
 
+def _require_pltpu() -> None:
+    """The kernels declare VMEM scratch buffers, which need pallas.tpu even in
+    interpret mode — without it every pallas_call would fail with a confusing
+    kernel-arity error, so refuse up front with an actionable message."""
+    if not _HAS_PLTPU:
+        raise ImportError(
+            "lshm_tpu.kernels.conv2d_outer requires jax.experimental.pallas.tpu "
+            "(unavailable in this jax install); use the default XLA conv path "
+            "(ModelConfig.pallas_head=0)"
+        )
+
+
 def _subtile(dtype) -> int:
     """Sublane tile extent: 8 for 32-bit, 16 for bf16 (packed sublanes)."""
     return 16 if jnp.dtype(dtype).itemsize == 2 else 8
@@ -76,12 +88,19 @@ def _padto(n: int, m: int) -> int:
 
 def _compiler_params(interpret: bool):
     """Raised scoped-VMEM cap: the double-packed buffers hold the full G-block at
-    full resolution, so useful G needs more than the default 16 MiB scope.  v5e has
-    128 MiB of VMEM."""
+    full resolution, so useful G needs more than the default 16 MiB scope.
+
+    The default (96 MiB) assumes v5e/v4-class cores with 128 MiB of VMEM — the
+    only platforms this kernel has been compiled on.  On generations with less
+    VMEM set LSHM_PALLAS_VMEM_MB lower (the grid G then needs to shrink too);
+    the kernel is opt-in (ModelConfig.pallas_head, default off)."""
     if interpret or not _HAS_PLTPU:
         return {}
+    import os
+
+    mb = int(os.environ.get("LSHM_PALLAS_VMEM_MB", "96"))
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=96 * 1024 * 1024)}
+        vmem_limit_bytes=mb * 1024 * 1024)}
 
 
 # ------------------------------------------------------------------ XLA-side packing
@@ -238,9 +257,9 @@ def _fwd_call(xp4, w0big, b0, w1p, b1, G: int, interpret: bool):
     F0 = w0big.shape[1] // 16
     F1 = w1p.shape[1] // 4
     H1 = Q - 1
-    vm = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
-    scratch, _ = (_scratch(xp4, F0, F1, Q, Qp, G, False) if _HAS_PLTPU
-                  else ([], 8))
+    _require_pltpu()
+    vm = {"memory_space": pltpu.VMEM} if not interpret else {}
+    scratch, _ = _scratch(xp4, F0, F1, Q, Qp, G, False)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, G, Q, Qp, F0, F1, H1),
         grid=(B // G,),
@@ -347,9 +366,9 @@ def _bwd_call(xp4, w0big, b0, w1p, b1, g1, G: int, interpret: bool):
     F0 = w0big.shape[1] // 16
     F1 = w1p.shape[1] // 4
     H1 = Q - 1
-    vm = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
-    scratch, _ = (_scratch(xp4, F0, F1, Q, Qp, G, True) if _HAS_PLTPU
-                  else ([], 8))
+    _require_pltpu()
+    vm = {"memory_space": pltpu.VMEM} if not interpret else {}
+    scratch, _ = _scratch(xp4, F0, F1, Q, Qp, G, True)
     dw0, db0p, dw1, db1 = pl.pallas_call(
         functools.partial(_bwd_kernel, G, Q, Qp, F0, F1, H1),
         grid=(B // G,),
@@ -402,9 +421,9 @@ def _dx_call(xp4, w0big, b0, w1p, b1, g1, G: int, interpret: bool):
     F0 = w0big.shape[1] // 16
     F1 = w1p.shape[1] // 4
     H1 = Q - 1
-    vm = {"memory_space": pltpu.VMEM} if (_HAS_PLTPU and not interpret) else {}
-    scratch, _ = (_scratch(xp4, F0, F1, Q, Qp, G, True) if _HAS_PLTPU
-                  else ([], 8))
+    _require_pltpu()
+    vm = {"memory_space": pltpu.VMEM} if not interpret else {}
+    scratch, _ = _scratch(xp4, F0, F1, Q, Qp, G, True)
     return pl.pallas_call(
         functools.partial(_dx_kernel, G, Q, Qp, F0, F1, H1),
         grid=(B // G,),
@@ -471,9 +490,17 @@ def enc_head(x, w0_hwio, b0, w1_hwio, b1, G: int = 10, interpret: bool | None = 
         interpret = not pallas_conv_available()
     B = x.shape[0]
     g = min(G, B)
-    while B % g:                      # largest divisor of B not above G (grid must
-        g -= 1                        # cover the batch exactly; leftover rows would
-    xp4 = s4d_pad(x)                  # come back uninitialized)
+    # The grid must cover the batch exactly (leftover rows would come back
+    # uninitialized).  Rather than silently degrading to a tiny divisor of B
+    # (worst case g=1 for prime B — a large hidden throughput cliff for a kernel
+    # that exists purely for speed), pad the batch up to a multiple of g with
+    # zero rows and slice them back off; the pad rows' output cotangent is zero,
+    # so weight/bias gradients are unaffected.
+    Bp = _padto(B, g)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
+    xp4 = s4d_pad(x)
     w0big = jnp.kron(jnp.eye(4, dtype=x.dtype), pack_w(w0_hwio).astype(x.dtype))
     w1p = pack_w(w1_hwio).astype(x.dtype)
-    return enc_head_packed(xp4, w0big, b0, w1p, b1, g, interpret)
+    out = enc_head_packed(xp4, w0big, b0, w1p, b1, g, interpret)
+    return out[:B] if Bp != B else out

@@ -247,7 +247,8 @@ def make_lbfgs_train_step(
     from lshm_tpu.train.schedule import group_mask
 
     nadmm = cfg.train.admm_iters
-    unroll = cfg.train.admm_unroll
+    unroll = (cfg.train.admm_unroll if cfg.train.admm_unroll_lbfgs is None
+              else cfg.train.admm_unroll_lbfgs)
     use_rica = cfg.model.rica
     khm_order = cfg.model.khm_order
     khm_backend = cfg.model.khm_backend

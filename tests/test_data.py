@@ -219,3 +219,15 @@ def test_batch_reader_matches_per_baseline(synth_h5):
         np.testing.assert_allclose(patches[i * ppb : (i + 1) * ppb], p1, atol=1e-6)
         np.testing.assert_allclose(uv[i * ppb : (i + 1) * ppb], uv1, atol=1e-6)
         assert tuple(pairs[i]) == tuple(bl1)
+
+
+def test_batch_reader_rejects_empty_ids(synth_h5):
+    """Empty baseline_ids raises a clear ValueError on both the native and numpy
+    paths (ADVICE r4: the native fast path previously hit UnboundLocalError)."""
+    import pytest
+
+    from lshm_tpu.data.h5io import read_baselines_patches_batch
+
+    for use_native in (False, None):
+        with pytest.raises(ValueError, match="non-empty"):
+            read_baselines_patches_batch(synth_h5, "0", [], use_native=use_native)

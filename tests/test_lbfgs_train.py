@@ -127,3 +127,30 @@ def test_lbfgs_group_masked_step():
     for name in ("ae2d", "aeT", "aeF"):
         for a, b in zip(jax.tree.leaves(p0[name]), jax.tree.leaves(p1[name])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_lbfgs_admm_unroll_override_matches_scan():
+    """TrainConfig.admm_unroll_lbfgs=False (the full_khm_lbfgs preset default: one
+    lax.scan ADMM loop, admm_iters-independent compile) is numerically the same
+    program as the default unrolled lowering."""
+    import dataclasses
+
+    cfg = make_cfg()
+    assert cfg.train.admm_unroll and cfg.train.admm_unroll_lbfgs is None
+    cfg_scan = cfg.replace(
+        train=dataclasses.replace(cfg.train, admm_unroll_lbfgs=False))
+    model = CascadedAE(cfg=cfg.model)
+    x, uv = make_batch(jax.random.PRNGKey(0))
+    state = init_lbfgs_train_state(model, cfg, jax.random.PRNGKey(1), x, uv)
+    w = LossWeights()
+    s1, m1 = make_lbfgs_train_step(model, cfg, num_groups=2, donate=False)(
+        state, x, uv, w)
+    s2, m2 = make_lbfgs_train_step(model, cfg_scan, num_groups=2, donate=False)(
+        state, x, uv, w)
+    assert m1["loss"].shape == m2["loss"].shape == (cfg.train.admm_iters,)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]),
+                               rtol=1e-6)
+    assert int(s1.opt_state.func_evals) == int(s2.opt_state.func_evals)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

@@ -341,3 +341,42 @@ def test_custom_elu_matches_jax_nn_elu():
     ve, ge = elu(xe), jax.grad(lambda v: jnp.sum(elu(v)))(xe)
     assert np.all(np.isfinite(np.asarray(ve))) and np.all(np.isfinite(np.asarray(ge)))
     np.testing.assert_array_equal(np.asarray(ge), np.asarray([1, 0, 1, 1, 0], np.float32))
+
+
+def test_enc_head_prime_batch_pads():
+    """enc_head with a prime batch > G must NOT silently degrade to a G=1 grid
+    (ADVICE r4): the batch is zero-padded up to a multiple of g and sliced back,
+    with forward and weight gradients identical to the naive XLA conv head."""
+    import numpy as np
+
+    from lshm_tpu.kernels.conv2d_outer import enc_head
+    from lshm_tpu.models.autoencoders import elu
+
+    k = jax.random.PRNGKey(0)
+    B, P, C, F0, F1 = 11, 32, 4, 8, 12          # 11 prime: pads to 20 with g=10
+    x = jax.random.normal(k, (B, P, P, C))
+    w0 = jax.random.normal(jax.random.fold_in(k, 1), (4, 4, C, F0)) * 0.2
+    b0 = jax.random.normal(jax.random.fold_in(k, 2), (F0,)) * 0.1
+    w1 = jax.random.normal(jax.random.fold_in(k, 3), (4, 4, F0, F1)) * 0.2
+    b1 = jax.random.normal(jax.random.fold_in(k, 4), (F1,)) * 0.1
+
+    def ref(x, w0, b0, w1, b1):
+        conv = lambda v, w: jax.lax.conv_general_dilated(
+            v, w, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return elu(conv(elu(conv(x, w0) + b0), w1) + b1)
+
+    ya = enc_head(x, w0, b0, w1, b1, interpret=True)
+    yb = ref(x, w0, b0, w1, b1)
+    assert ya.shape == (B, P // 4, P // 4, F1)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), rtol=2e-5, atol=2e-5)
+
+    def loss(fn):
+        return lambda w0, b0, w1, b1: jnp.sum(fn(x, w0, b0, w1, b1) ** 2)
+
+    ga = jax.grad(loss(lambda *a: enc_head(*a, interpret=True)), argnums=(0, 1, 2, 3))(
+        w0, b0, w1, b1)
+    gb = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(w0, b0, w1, b1)
+    for a, b in zip(ga, gb):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-5
