@@ -52,6 +52,7 @@ Small latent dims keep the whole notebook a few minutes on CPU; on a TPU host it
 as-is (remove `LSHM_PLATFORM`) with the full flagship dims if you like.
 """),
     code("""
+%matplotlib inline
 import os, sys, tempfile
 sys.path.insert(0, os.path.dirname(os.getcwd())) if os.path.basename(os.getcwd()) == "examples" else None
 os.environ.setdefault("LSHM_PLATFORM", "cpu")   # hermetic CPU run; delete for TPU

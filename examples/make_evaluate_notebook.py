@@ -41,6 +41,7 @@ in the first cells (on real data you would instead `Trainer.load()` a checkpoint
 `import-torch` the reference's `.model` files).
 """),
     code("""
+%matplotlib inline
 import os, sys, tempfile
 sys.path.insert(0, os.path.dirname(os.getcwd())) if os.path.basename(os.getcwd()) == "examples" else None
 os.environ.setdefault("LSHM_PLATFORM", "cpu")   # hermetic CPU run; delete for TPU

@@ -210,9 +210,9 @@ def evaluate_sap(
 
 
 def _plot_scatter(embedding, soft, labels, out_dir):
-    import matplotlib
+    from lshm_tpu.utils.rgb import headless_matplotlib
 
-    matplotlib.use("Agg")
+    headless_matplotlib()
     import matplotlib.pyplot as plt
 
     for name, colors in (("scatter", soft), ("clusters", labels)):

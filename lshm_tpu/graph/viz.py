@@ -21,9 +21,9 @@ def draw_graph(data, out_path: str, title: str = "", seed: int = 0,
     from ``directed`` (station graphs are the directed ones here).  Masked-out
     station nodes (no autocorrelation) are drawn grey.
     """
-    import matplotlib
+    from lshm_tpu.utils.rgb import headless_matplotlib
 
-    matplotlib.use("Agg")
+    headless_matplotlib()
     import matplotlib.pyplot as plt
     import networkx as nx
 

@@ -59,9 +59,9 @@ class MetricLogger:
     def plot(self, path: str, terms: tuple[str, ...] = _ORDER + ("loss",)) -> None:
         """Loss-curve figure over training iterations (the reference's
         figures/errors.png artifact, generated instead of hand-assembled)."""
-        import matplotlib
+        from lshm_tpu.utils.rgb import headless_matplotlib
 
-        matplotlib.use("Agg")
+        headless_matplotlib()
         import matplotlib.pyplot as plt
 
         if not self.history:

@@ -10,6 +10,18 @@ from __future__ import annotations
 import numpy as np
 
 
+def headless_matplotlib() -> None:
+    """Switch matplotlib to Agg for headless figure export — UNLESS an inline/
+    notebook backend is already active: library plot helpers run mid-notebook
+    (e.g. ``evaluate_sap(out_dir=...)``), and a hard ``use("Agg")`` there silently
+    kills every subsequent ``plt.show()`` in the user's session."""
+    import matplotlib
+
+    b = matplotlib.get_backend().lower()
+    if "inline" not in b and "ipympl" not in b and "nbagg" not in b:
+        matplotlib.use("Agg")
+
+
 def channel_to_rgb(x: np.ndarray) -> np.ndarray:
     """[H, W, 4] (re/im of XX, YY) -> [H, W, 3] RGB mix, z-normalized first
     (reference: src/lofar_tools.py:33-48, channel-last here)."""
