@@ -96,21 +96,57 @@ def main():
         baseline_distance_matrix(model, params, h5, "0",
                                  baselines_per_batch=args.bpb,
                                  baseline_ids=chunks[0], decode_lookahead=0)
-        for label, la in [("serial", 0), ("pipelined", 2)]:
+        # host->device link probe: decoded-f32-patch chunks vs raw-int8 chunks —
+        # on a tunneled TPU attachment this link, not the decode or the forward,
+        # can dominate end-to-end eval (the motivation for device_decode)
+        ppb_probe = ((max(args.ntime, 128) - 128) // 64 + 1) * (
+            (max(args.nfreq, 128) - 128) // 64 + 1)
+        f32_chunk = np.random.rand(
+            args.bpb * ppb_probe, 128, 128, 4).astype(np.float32)
+        i8_chunk = np.random.randint(
+            -127, 127, (args.bpb, args.ntime, args.nfreq, 4, 2), dtype=np.int8)
+        for name, buf in (("f32_patches", f32_chunk), ("int8_raw", i8_chunk)):
+            d = jax.device_put(buf); float(jax.device_get(d.reshape(-1)[0]))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                d = jax.device_put(buf)
+                float(jax.device_get(d.reshape(-1)[0]))   # completion-forcing
+                ts.append(time.perf_counter() - t0)
+            mb = buf.nbytes / 1e6
+            report[f"h2d_{name}_mb"] = mb
+            report[f"h2d_{name}_sec_per_chunk"] = min(ts)
+            report[f"h2d_{name}_mb_per_sec"] = mb / min(ts)
+
+        for label, la, dd in [("serial", 0, False), ("pipelined", 2, False),
+                              ("serial_devdec", 0, True),
+                              ("pipelined_devdec", 2, True)]:
+            # warm the path's own compile before its timed window
+            baseline_distance_matrix(model, params, h5, "0",
+                                     baselines_per_batch=args.bpb,
+                                     baseline_ids=chunks[0], decode_lookahead=0,
+                                     device_decode=dd)
             t0 = time.perf_counter()
             X, _ = baseline_distance_matrix(model, params, h5, "0",
                                             baselines_per_batch=args.bpb,
-                                            decode_lookahead=la)
+                                            decode_lookahead=la,
+                                            device_decode=dd)
             dt = time.perf_counter() - t0
             report[f"e2e_{label}_sec"] = dt
             report[f"e2e_{label}_patches_per_sec"] = total / dt
         report["pipeline_speedup"] = (report["e2e_serial_sec"]
                                       / report["e2e_pipelined_sec"])
+        report["device_decode_speedup"] = (
+            report["e2e_pipelined_sec"] / report["e2e_pipelined_devdec_sec"])
         decode_rate = report.get("decode_native_patches_per_sec",
                                  report.get("decode_numpy_patches_per_sec"))
-        # the done-criterion ratio: end-to-end vs the host-decode ceiling (1 core)
+        # the done-criterion ratio: end-to-end vs the host-decode ceiling (1 core);
+        # for the host-decode path the ceiling is the decode, for the device-decode
+        # path the decode leaves the picture entirely (only raw reads + H2D remain)
         report["e2e_over_decode_ceiling"] = (
             report["e2e_pipelined_patches_per_sec"] / decode_rate)
+        report["e2e_devdec_over_decode_ceiling"] = (
+            report["e2e_pipelined_devdec_patches_per_sec"] / decode_rate)
         report["date"] = time.strftime("%Y-%m-%d")
 
     print(json.dumps(report, indent=1), flush=True)

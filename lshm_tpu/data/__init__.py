@@ -5,8 +5,10 @@ from lshm_tpu.data.h5io import (
     read_baseline_flat,
     read_baseline_patches,
     read_baselines_patches_batch,
+    read_baselines_raw_batch,
     compute_uv,
 )
+from lshm_tpu.data.device_decode import device_decode_patchify
 from lshm_tpu.data.patches import patchify, patch_grid_shape
 from lshm_tpu.data.sampler import MinibatchSampler, Minibatch
 from lshm_tpu.data.synthetic import write_synthetic_h5
@@ -18,6 +20,8 @@ __all__ = [
     "read_baseline_flat",
     "read_baseline_patches",
     "read_baselines_patches_batch",
+    "read_baselines_raw_batch",
+    "device_decode_patchify",
     "compute_uv",
     "patchify",
     "patch_grid_shape",

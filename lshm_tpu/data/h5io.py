@@ -153,6 +153,32 @@ def read_baseline_raw(
     return vis, scales
 
 
+def read_baselines_raw_batch(
+    filename: str,
+    sap: str,
+    baseline_ids: Sequence[int],
+    uvdist: bool = False,
+):
+    """ONE-open raw read for the device-decode eval path: int8 visibilities +
+    float32 scale factors (+ optional per-baseline uv), undecoded.
+
+    The decoded-f32 batch reader amplifies bytes 4-6x (overlapping patchify) x4
+    (f32) before they cross the host->device link; shipping these raw arrays and
+    decoding on device (lshm_tpu/data/device_decode.py) moves ~22x less.  Returns
+    (vis [B, T, F, npol, 2] int8, scales [B, F, npol] f32[, uv [B, 2] f32])."""
+    if len(baseline_ids) == 0:
+        raise ValueError("read_baselines_raw_batch: baseline_ids must be non-empty")
+    with h5py.File(filename, "r") as f:
+        g = f["measurement"]["saps"][sap]["visibilities"]
+        h = f["measurement"]["saps"][sap]["visibility_scale_factors"]
+        vis = np.stack([g[b] for b in baseline_ids])
+        scales = np.stack([h[b] for b in baseline_ids])
+        if uvdist:
+            uv = _compute_uv_open(f, sap, baseline_ids)
+            return vis, scales, uv
+    return vis, scales
+
+
 def read_baseline_channels(
     filename: str,
     sap: str,

@@ -43,6 +43,21 @@ def _batched_features(model, params, x, uv, ppb: int, order: int):
     return dists, jnp.mean(Mu, axis=1)
 
 
+@partial(jax.jit, static_argnames=("model", "order", "num_channels", "patch_size"))
+def _decode_and_features(model, params, vis, scales, uv_base, order: int,
+                         num_channels: int, patch_size: int):
+    """Fused on-device decode + forward: int8 vis [B, T, F, npol, 2] in, (dists,
+    mean latents) out — the decoded f32 patches never cross the host<->device link
+    (lshm_tpu/data/device_decode.py; measured 2026-08-20: shipping decoded patches
+    through the relay costs ~16x the decode itself)."""
+    from lshm_tpu.data.device_decode import device_decode_patchify
+
+    patches = device_decode_patchify(vis, scales, num_channels, patch_size)
+    ppb = patches.shape[0] // vis.shape[0]
+    uv = jnp.repeat(uv_base, ppb, axis=0)
+    return _batched_features(model, params, patches, uv, ppb, order)
+
+
 def baseline_distance_matrix(
     model,
     params,
@@ -54,17 +69,26 @@ def baseline_distance_matrix(
     baselines_per_batch: int = 8,
     baseline_ids: list[int] | None = None,
     decode_lookahead: int = 2,
+    device_decode: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (X [K, nbase] raw distance matrix, mean_latents [nbase, D]).
 
-    The host decode (h5 read + int8 x scale + patchify) and the device forward are
-    PIPELINED: a background thread decodes up to ``decode_lookahead`` chunks ahead
-    while the device runs the previous chunk's forward, and results are fetched one
-    chunk late — so the device rate (~275k patches/s measured) is never serialized
-    behind the ~8k patches/s host decode and end-to-end eval tracks the slower of the
-    two instead of their sum (VERDICT r3 weak #5).  ``decode_lookahead=0`` restores
-    the serial path."""
-    from lshm_tpu.data.h5io import read_baselines_patches_batch, read_metadata
+    The host work and the device forward are PIPELINED: a background thread
+    prepares up to ``decode_lookahead`` chunks ahead while the device runs the
+    previous chunk's forward, and results are fetched one chunk late — so the
+    device rate is never serialized behind the host (VERDICT r3 weak #5).
+    ``decode_lookahead=0`` restores the serial path.
+
+    ``device_decode=True`` (default) ships the RAW int8 visibilities + scale
+    factors and runs decode/patchify/normalize on device fused with the forward
+    (lshm_tpu/data/device_decode.py, exact same math, parity-tested): the decoded
+    f32 patch batch is 4-6x (overlap) x4 (f32) the raw bytes, and on a tunneled
+    TPU attachment that transfer dominated end-to-end eval 16x over the decode
+    itself (benchmarks/eval_pipeline_bench.py, 2026-08-20).  ``False`` keeps the
+    host-decode path (numpy/native readers — the parity oracle)."""
+    from lshm_tpu.data.h5io import (
+        read_baselines_patches_batch, read_baselines_raw_batch, read_metadata,
+    )
 
     nbase = read_metadata(filename, sap)[0]
     ids = list(baseline_ids) if baseline_ids is not None else list(range(nbase))
@@ -81,12 +105,22 @@ def baseline_distance_matrix(
         # (a second multi-minute TPU compile per SAP), but padding the id list before
         # the read would re-decode the last baseline from disk up to
         # baselines_per_batch-1 times.  The [: len(chunk)] slices below discard the
-        # padded rows.
+        # padded rows.  jnp.asarray here runs in the prefetch thread, so the
+        # host->device transfer overlaps device compute.
+        npad = baselines_per_batch - len(chunk)
+        if device_decode:
+            vis, scales, uv_b = read_baselines_raw_batch(
+                filename, sap, chunk, uvdist=True
+            )
+            if npad:
+                vis = np.concatenate([vis, np.tile(vis[-1:], (npad, 1, 1, 1, 1))])
+                scales = np.concatenate([scales, np.tile(scales[-1:], (npad, 1, 1))])
+                uv_b = np.concatenate([uv_b, np.tile(uv_b[-1:], (npad, 1))])
+            return jnp.asarray(vis), jnp.asarray(scales), jnp.asarray(uv_b)
         _, _, patches, uv_full = read_baselines_patches_batch(
             filename, sap, chunk, patch_size, num_channels, uvdist=True
         )
         ppb = patches.shape[0] // len(chunk)
-        npad = baselines_per_batch - len(chunk)
         if npad:
             patches = np.concatenate(
                 [patches, np.tile(patches[-ppb:], (npad, 1, 1, 1))], axis=0
@@ -97,6 +131,10 @@ def baseline_distance_matrix(
         return jnp.asarray(patches), jnp.asarray(uv_full), ppb
 
     def dispatch(decoded):
+        if device_decode:
+            vis, scales, uv_b = decoded
+            return _decode_and_features(model, params, vis, scales, uv_b, order,
+                                        num_channels, patch_size)
         x, uv, ppb = decoded
         return _batched_features(model, params, x, uv, ppb, order)
 

@@ -62,13 +62,21 @@ def test_evaluate_sap_full(small_model, synth_h5, tmp_path):
 
 def test_distance_matrix_single_trace(small_model, synth_h5):
     """A partial tail chunk (10 baselines, bpb=4 -> 4+4+2) must NOT re-trace the jitted
-    feature extractor: the tail is padded to a full batch and sliced on the host."""
-    from lshm_tpu.eval.clustering import _batched_features
+    feature extractor: the tail is padded to a full batch and sliced on the host —
+    on BOTH the device-decode default and the host-decode oracle path."""
+    from lshm_tpu.eval.clustering import _batched_features, _decode_and_features
 
     model, params = small_model
-    _batched_features.clear_cache()
+    _decode_and_features.clear_cache()
     baseline_distance_matrix(
         model, params, synth_h5, "0", order=4, baselines_per_batch=4
+    )
+    assert _decode_and_features._cache_size() == 1
+
+    _batched_features.clear_cache()
+    baseline_distance_matrix(
+        model, params, synth_h5, "0", order=4, baselines_per_batch=4,
+        device_decode=False,
     )
     assert _batched_features._cache_size() == 1
 
