@@ -35,6 +35,15 @@ class DataConfig:
     uvdist: bool = True               # compute per-baseline (u,v) in wavelengths
     augment: bool = False             # double data with an augmentation transform
     prefetch: int = 2                 # host->device prefetch depth
+    # Ship raw int8 + scales and decode/patchify/augment ON DEVICE (one jitted
+    # program) instead of uploading decoded f32 patches — 8-22x fewer bytes over
+    # the host->device link, the measured end-to-end training bottleneck on
+    # tunneled attachments (README round 5).  None = auto: on when the default
+    # backend is not CPU, the mesh is unsharded, and the augment transform is
+    # the default (its rng flip decisions travel as flags).  The data stream is
+    # bit-compatible with the host-decode path (same rng draws), so checkpoints
+    # and exact resume are interchangeable between the two.
+    device_decode: bool | None = None
 
     def __post_init__(self):
         assert self.num_channels in (4, 8), "num_channels must be 4 or 8"
@@ -307,6 +316,24 @@ def _apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
                         f"cannot override structured tuple field {path!r} from the CLI"
                     )
                 val = tuple(elem_t(v) for v in raw.split(","))
+        elif cur is None:
+            # None-default fields (device_decode, admm_unroll_lbfgs, ...) carry no
+            # type to coerce to: parse the literal (none/bool/number), else string
+            r = raw.strip().lower()
+            if r in ("none", "null", "auto", ""):
+                val = None
+            elif r in ("true", "yes"):
+                val = True
+            elif r in ("false", "no"):
+                val = False
+            else:
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        val = raw
         else:
             val = raw
         node = dataclasses.replace(node, **{keys[-1]: val})

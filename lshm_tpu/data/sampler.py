@@ -49,6 +49,25 @@ class Minibatch:
         return self.x.shape[0] // self.num_baselines
 
 
+@dataclass
+class RawMinibatch:
+    """One minibatch in raw H5 form (pre-decode) for the device-decode path.
+
+    vis:    [B, T, F, npol, 2] int8 raw visibilities
+    scales: [B, F, npol] float32 per-(baseline, freq, pol) scale factors
+    uv:     [B, 2] float32 (u, v) per baseline (zeros when uvdist is off)
+    flip_flags: [B, 2] bool per-baseline (time, freq) flip decisions (augment path)
+    """
+
+    vis: np.ndarray
+    scales: np.ndarray
+    uv: np.ndarray
+    flip_flags: np.ndarray
+    patchx: int
+    patchy: int
+    num_baselines: int
+
+
 def default_augment(rng: np.random.Generator, patches: np.ndarray) -> np.ndarray:
     """Default augmentation: random time/freq flips (the reference leaves the torchvision
     transform unspecified / None in the shipped path; reference: src/lofar_tools.py:196-203)."""
@@ -242,6 +261,55 @@ class MinibatchSampler:
             num_baselines=cfg.batch_size,
         )
 
+    @property
+    def supports_device_decode(self) -> bool:
+        """The raw path reproduces augmentation on device only for the default
+        time/freq flip transform (its rng decisions travel as flags); a custom
+        ``augment_fn`` must run on host-decoded patches."""
+        return (not self.cfg.augment) or self.augment_fn is default_augment
+
+    def sample_raw(self) -> RawMinibatch:
+        """``sample()`` without the decode: raw int8 vis + f32 scales + uv (+
+        per-baseline flip flags), for on-device decode+patchify+augment
+        (lshm_tpu/data/device_decode.py::device_decode_train).
+
+        Draws the EXACT rng sequence of ``sample()`` — file pick, baseline pick,
+        and (augmenting) two uniforms per baseline, the same two ``rng.random()``
+        calls ``default_augment`` makes — so checkpoints, ``skip()`` replay and
+        mid-epoch exact resume are interchangeable between the host-decode and
+        device-decode pipelines."""
+        cfg = self.cfg
+        if not self.supports_device_decode:
+            raise RuntimeError(
+                "sample_raw: custom augment_fn cannot be replayed on device; "
+                "use the host-decode path (data.device_decode=False)"
+            )
+        idx = int(self.rng.integers(0, len(self.file_list)))
+        filename, sap = self.file_list[idx], self.sap_list[idx]
+        nbase, ntime, nfreq = self._meta[idx][:3]
+        baseline_ids = self.rng.integers(0, nbase, cfg.batch_size)
+        vis, scales = read_baseline_raw(filename, sap, baseline_ids)
+        if cfg.uvdist:
+            uv = compute_uv(filename, sap, baseline_ids)
+        else:
+            uv = np.zeros((cfg.batch_size, 2), dtype=np.float32)
+        if cfg.augment:
+            flags = np.empty((cfg.batch_size, 2), dtype=bool)
+            for b in range(cfg.batch_size):
+                flags[b, 0] = self.rng.random() < 0.5
+                flags[b, 1] = self.rng.random() < 0.5
+        else:
+            flags = np.zeros((cfg.batch_size, 2), dtype=bool)
+        from lshm_tpu.data.patches import patch_grid_shape
+
+        px, py = patch_grid_shape(
+            max(ntime, cfg.patch_size), max(nfreq, cfg.patch_size), cfg.patch_size
+        )
+        return RawMinibatch(
+            vis=vis, scales=scales, uv=uv.astype(np.float32), flip_flags=flags,
+            patchx=px, patchy=py, num_baselines=cfg.batch_size,
+        )
+
     def __iter__(self) -> Iterator[Minibatch]:
         while True:
             yield self.sample()
@@ -287,6 +355,88 @@ class PrefetchIterator:
     def close(self):
         self._stop.set()
         try:  # drain so a blocked put unblocks and device buffers free promptly
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class DeviceDecodePrefetcher:
+    """Prefetcher that ships RAW int8 bytes and decodes on device.
+
+    Same interface as ``PrefetchIterator`` (yields ``Minibatch`` with
+    device-resident ``x``/``uv``), but the host->device transfer carries the raw
+    int8 visibilities + f32 scales (+ flip flags) instead of decoded float32
+    patch batches — ~8-22x fewer bytes (44x with augmentation), which is the
+    measured end-to-end bottleneck of the training loop on link-constrained
+    attachments (README round 5; eval got 4.4x from the same move).  One jitted
+    program (device_decode_train) then does decode+patchify+clamp+norm+augment
+    in HBM; it recompiles only per distinct raw (B, T, F) shape, and the train
+    step itself sees the exact same [N, ps, ps, C] it always did."""
+
+    def __init__(self, sampler: MinibatchSampler, size: int = 2,
+                 device_put: Callable | None = None):
+        import jax
+
+        from lshm_tpu.data.device_decode import device_decode_train
+
+        cfg = sampler.cfg
+        self._put = device_put or jax.device_put
+        self._decode = lambda vis, scales, flags: device_decode_train(
+            vis, scales, flags,
+            num_channels=cfg.num_channels, patch_size=cfg.patch_size,
+            clamp=cfg.clamp, normalize=cfg.normalize, augment=cfg.augment,
+        )
+        self._q: queue.Queue = queue.Queue(maxsize=max(size, 1))
+        self._stop = threading.Event()
+        self._sampler = sampler
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _producer(self):
+        cfg = self._sampler.cfg
+        while not self._stop.is_set():
+            try:
+                raw = self._sampler.sample_raw()
+                x = self._decode(self._put(raw.vis), self._put(raw.scales),
+                                 self._put(raw.flip_flags))
+                ppb = raw.patchx * raw.patchy * (2 if cfg.augment else 1)
+                uv = self._put(np.repeat(raw.uv, ppb, axis=0))
+            except BaseException as e:   # surface in the consumer, don't die silently
+                self._err = e
+                self._stop.set()
+                return
+            item = Minibatch(x=x, uv=uv, patchx=raw.patchx, patchy=raw.patchy,
+                             num_baselines=raw.num_baselines)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[Minibatch]:
+        return self
+
+    def __next__(self) -> Minibatch:
+        while True:
+            try:
+                return self._q.get(timeout=0.1)
+            except queue.Empty:
+                if self._err is not None:
+                    raise RuntimeError("device-decode prefetch failed") from self._err
+
+    def close(self):
+        self._stop.set()
+        try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:

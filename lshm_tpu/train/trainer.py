@@ -233,9 +233,28 @@ class Trainer:
                 sampler.skip(first_iter)   # replay rng draws, no I/O: mid-epoch resume
             # background host->device prefetch so the step never waits on h5py
             if cfg.data.prefetch > 0:
-                from lshm_tpu.data.sampler import PrefetchIterator
+                from lshm_tpu.data.sampler import (
+                    DeviceDecodePrefetcher,
+                    PrefetchIterator,
+                )
 
-                source = PrefetchIterator(sampler, cfg.data.prefetch, device_put=placer)
+                use_dd = cfg.data.device_decode
+                raw_ok = (self.mesh is None
+                          and getattr(sampler, "supports_device_decode", False))
+                if use_dd and not raw_ok:
+                    raise ValueError(
+                        "data.device_decode=True needs an unsharded mesh and the "
+                        "default augment transform (custom augment_fns and sharded "
+                        "batches use the host-decode path)"
+                    )
+                if use_dd is None:   # auto: on where the link is the bottleneck
+                    use_dd = raw_ok and jax.default_backend() != "cpu"
+                if use_dd:
+                    source = DeviceDecodePrefetcher(sampler, cfg.data.prefetch,
+                                                    device_put=placer)
+                else:
+                    source = PrefetchIterator(sampler, cfg.data.prefetch,
+                                              device_put=placer)
             else:
                 source = None
             pending = None   # (state_before, metrics, it) awaiting the finite check

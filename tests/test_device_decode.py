@@ -83,3 +83,94 @@ def test_distance_matrix_device_decode_matches_host(synth_h5):
             decode_lookahead=lookahead, device_decode=True)
         np.testing.assert_allclose(X, ref_X, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(L, ref_L, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- training path
+
+def _sampler(synth_h5, seed, augment, **kw):
+    import os
+
+    from lshm_tpu.config import DataConfig
+    from lshm_tpu.data.sampler import MinibatchSampler
+
+    cfg = DataConfig(data_dir=os.path.dirname(synth_h5), batch_size=3,
+                     augment=augment)
+    return MinibatchSampler([synth_h5], ["0"], cfg, seed=seed,
+                            use_native=False, **kw)
+
+
+@pytest.mark.parametrize("augment", [False, True])
+def test_sample_raw_stream_and_decode_parity(synth_h5, augment):
+    """sample_raw() + device_decode_train == sample(), and both consume the rng
+    stream identically (checkpoint/exact-resume interchangeability)."""
+    from lshm_tpu.data.device_decode import device_decode_train
+
+    s_host = _sampler(synth_h5, seed=11, augment=augment)
+    s_raw = _sampler(synth_h5, seed=11, augment=augment)
+    for _ in range(3):   # several draws so stream drift would accumulate
+        mb = s_host.sample()
+        raw = s_raw.sample_raw()
+        assert (s_host.rng.bit_generator.state == s_raw.rng.bit_generator.state)
+        got = np.asarray(device_decode_train(
+            jnp.asarray(raw.vis), jnp.asarray(raw.scales),
+            jnp.asarray(raw.flip_flags), num_channels=4, patch_size=128,
+            clamp=1e3, normalize=True, augment=augment))
+        assert got.shape == mb.x.shape
+        np.testing.assert_allclose(got, mb.x, rtol=2e-4, atol=2e-5)
+        ppb = raw.patchx * raw.patchy * (2 if augment else 1)
+        np.testing.assert_allclose(np.repeat(raw.uv, ppb, axis=0), mb.uv,
+                                   rtol=1e-6)
+
+
+def test_sample_raw_rejects_custom_augment(synth_h5):
+    def my_augment(rng, patches):
+        rng.random()
+        return patches
+
+    s = _sampler(synth_h5, seed=0, augment=True, augment_fn=my_augment)
+    assert not s.supports_device_decode
+    with pytest.raises(RuntimeError, match="custom augment_fn"):
+        s.sample_raw()
+
+
+def test_device_decode_prefetcher_matches_host_sampler(synth_h5):
+    from lshm_tpu.data.sampler import DeviceDecodePrefetcher
+
+    s_host = _sampler(synth_h5, seed=3, augment=True)
+    s_raw = _sampler(synth_h5, seed=3, augment=True)
+    with DeviceDecodePrefetcher(s_raw, size=1) as pre:
+        for _ in range(2):
+            want = s_host.sample()
+            got = next(pre)
+            np.testing.assert_allclose(np.asarray(got.x), want.x,
+                                       rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(got.uv), want.uv, rtol=1e-6)
+            assert (got.patchx, got.patchy) == (want.patchx, want.patchy)
+
+
+def test_trainer_device_decode_smoke(synth_h5):
+    """Trainer runs end-to-end with data.device_decode=True (CPU: auto would be
+    off, the explicit flag forces the raw path) and matches the host-decode
+    run's first losses to decode-noise tolerance."""
+    import os
+    from dataclasses import replace
+
+    from lshm_tpu.config import preset
+    from lshm_tpu.train.trainer import Trainer
+
+    losses = {}
+    for dd in (False, True):
+        cfg = preset("full_khm")
+        cfg = replace(
+            cfg,
+            data=replace(cfg.data, data_dir=os.path.dirname(synth_h5),
+                         batch_size=2, device_decode=dd, augment=True),
+            model=replace(cfg.model, latent_dim=8, latent_dim_1d=4,
+                          num_clusters=2),
+            train=replace(cfg.train, num_epochs=1, iters_per_epoch=2,
+                          admm_iters=1, seed=0, log_every=1),
+        )
+        t = Trainer(cfg)
+        summary = t.run()
+        losses[dd] = summary["loss"]
+    np.testing.assert_allclose(losses[True], losses[False], rtol=5e-3)

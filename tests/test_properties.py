@@ -95,6 +95,20 @@ def test_config_override_roundtrip(batch, lr, opt, rica):
     assert cfg.model.rica is rica
 
 
+def test_config_override_none_typed_fields():
+    """None-default fields coerce from literals: bool/none/number, not raw strings
+    (a raw 'false' string would be truthy)."""
+    from lshm_tpu.config import _apply_overrides, preset
+
+    for raw, want in [("true", True), ("false", False), ("none", None),
+                      ("auto", None)]:
+        cfg = _apply_overrides(preset("full_khm"), [f"data.device_decode={raw}"])
+        assert cfg.data.device_decode is want, (raw, cfg.data.device_decode)
+    cfg = _apply_overrides(preset("full_khm_lbfgs"),
+                           ["train.admm_unroll_lbfgs=false"])
+    assert cfg.train.admm_unroll_lbfgs is False
+
+
 @given(st.integers(2, 12))
 @settings(max_examples=10, deadline=None)
 def test_line_graph_edges_symmetric_closure(nstat):
