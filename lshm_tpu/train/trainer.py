@@ -256,6 +256,11 @@ class Trainer:
                     source = PrefetchIterator(sampler, cfg.data.prefetch,
                                               device_put=placer)
             else:
+                if cfg.data.device_decode:
+                    raise ValueError(
+                        "data.device_decode=True requires data.prefetch > 0 "
+                        "(the raw->device decode runs in the prefetcher)"
+                    )
                 source = None
             pending = None   # (state_before, metrics, it) awaiting the finite check
             def _settle(pending):

@@ -174,3 +174,21 @@ def test_trainer_device_decode_smoke(synth_h5):
         summary = t.run()
         losses[dd] = summary["loss"]
     np.testing.assert_allclose(losses[True], losses[False], rtol=5e-3)
+
+
+def test_trainer_device_decode_requires_prefetch(synth_h5):
+    import os
+    from dataclasses import replace
+
+    from lshm_tpu.config import preset
+    from lshm_tpu.train.trainer import Trainer
+
+    cfg = preset("full_khm")
+    cfg = replace(
+        cfg,
+        data=replace(cfg.data, data_dir=os.path.dirname(synth_h5), batch_size=2,
+                     device_decode=True, prefetch=0),
+        train=replace(cfg.train, num_epochs=1, iters_per_epoch=1, admm_iters=1),
+    )
+    with pytest.raises(ValueError, match="prefetch"):
+        Trainer(cfg).run()
