@@ -103,8 +103,13 @@ def stage_breakdown(history, cfg) -> list[dict]:
 
     Each record carries t (host-observed completion of that step's metrics fetch —
     an honest value-dependent sync, not a dispatch ack) and the patch count.  The
-    steady rate excludes each stage's FIRST record (it absorbs the XLA compile +
-    warmup); compile-inclusive wall is reported alongside.
+    steady rate is the MEDIAN per-iteration delta excluding each stage's FIRST
+    record (which absorbs the XLA compile + warmup): the tunneled TPU attachment
+    shows rare multi-minute relay stalls (observed 2026-08-20: one ~10 min freeze
+    mid-epoch with the device otherwise healthy), and a mean would let one stall
+    masquerade as the sustained rate.  Stalls are not hidden: compile-inclusive
+    wall still contains them, and any delta > max(5x median, 30 s) is counted and
+    summed into ``stall_sec``/``stall_iters`` per stage.
     """
     from lshm_tpu.train.schedule import ramp_stage_for_epoch
 
@@ -130,16 +135,24 @@ def stage_breakdown(history, cfg) -> list[dict]:
             "wall_sec_incl_compile": None,        # 1 ADMM iter processes the batch)
             "steady_patches_per_sec": None,
         }
-        if len(recs) >= 2:
-            # steady window: drop the first record (compile+warmup)
-            dt = t_last - recs[1]["t"]
-            n_steady = len(recs) - 2
-            if n_steady > 0 and dt > 0:
-                per_iter = dt / n_steady
+        if len(recs) >= 3:
+            # steady window: drop the first record (compile+warmup); median
+            # per-iter delta so a transient relay stall can't pose as the rate
+            deltas = sorted(
+                recs[i + 1]["t"] - recs[i]["t"] for i in range(1, len(recs) - 1)
+            )
+            n = len(deltas)
+            per_iter = (deltas[n // 2] if n % 2
+                        else 0.5 * (deltas[n // 2 - 1] + deltas[n // 2]))
+            if per_iter > 0:
                 row["steady_patches_per_sec"] = (
                     recs[1].get("patches", 0) * nadmm / per_iter
                 )
                 row["steady_sec_per_admm_iter"] = per_iter / nadmm
+            stall_cut = max(5.0 * per_iter, 30.0)
+            stalls = [d for d in deltas if d > stall_cut]
+            row["stall_iters"] = len(stalls)
+            row["stall_sec"] = sum(s - per_iter for s in stalls)
         stages.append(row)
         row["t_first"], row["t_last"] = t_first, t_last
     # stage walls tile [0, t_last_of_final_stage]: each stage owns the interval
@@ -163,7 +176,23 @@ def main():
     ap.add_argument("--write-report", action="store_true")
     ap.add_argument("--nstations", type=int, default=12,
                     help="12 stations -> 78 baselines incl. autocorrelations")
+    ap.add_argument("--recompute-log", default=None, metavar="TRAIN_LOG_JSONL",
+                    help="rebuild only the 'stages' breakdown of the existing "
+                         "report from a recorded train log (no TPU run)")
     args = ap.parse_args()
+
+    if args.recompute_log:
+        cfg = build_config("/nonexistent", args.mini)
+        with open(args.recompute_log) as f:
+            history = [json.loads(line) for line in f if line.strip()]
+        with open(REPORT) as f:
+            report = json.load(f)
+        report["stages"] = stage_breakdown(history, cfg)
+        print(json.dumps(report["stages"], indent=1), flush=True)
+        if args.write_report:
+            with open(REPORT, "w") as f:
+                json.dump(report, f, indent=1)
+        return
 
     plat = os.environ.get("LSHM_PLATFORM")
     if plat:
@@ -226,6 +255,9 @@ def main():
                    "admm_iters": cfg.train.admm_iters,
                    "baselines_per_batch": cfg.data.batch_size},
         "synthetic_sap": h5,
+        "device_decode": bool(cfg.data.device_decode
+                              if cfg.data.device_decode is not None
+                              else jax.default_backend() != "cpu"),
         "total_wall_sec": wall,
         "stages": stage_breakdown(hist, cfg),
         "final_losses": summary,
