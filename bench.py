@@ -35,6 +35,12 @@ Timing discipline (round-3 rebuild; see VERDICT.md round 2):
     enriched detail — a driver timeout mid-secondary still leaves a valid line.
   * A persistent compilation cache (LSHM_JAX_CACHE_DIR, default ``.jax_cache/`` in the
     repo) makes repeat runs skip the multi-minute relay compile.
+  * A serialized-export trace cache (``.jax_cache/exported/``, LSHM_BENCH_TRACE_CACHE=0
+    to disable) additionally skips Python tracing + lowering (~30-40 s per program on
+    this 1-core host) on repeat runs: the step is exported once (jax.export) keyed by a
+    source-tree digest + argument avals, and later runs deserialize the identical
+    StableHLO module — which then also hits the XLA persistent cache.  Warm repeat
+    runs therefore fit ALL secondaries inside the default 480 s driver budget.
 """
 
 from __future__ import annotations
@@ -135,6 +141,152 @@ def _cost_flops(compiled) -> float | None:
         return None
 
 
+_EXPORT_DIR = os.path.join(_CACHE_DIR, "exported")
+
+
+def _source_digest() -> str:
+    """Content hash of everything that determines the traced program: the package
+    source tree + this file + the jax/jaxlib versions + the backend platform.  Any
+    code change rotates the key, so a stale serialized export can never be timed."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    try:
+        import jaxlib
+
+        h.update(getattr(jaxlib, "__version__", "?").encode())
+    except Exception:
+        pass
+    h.update(jax.default_backend().encode())
+    h.update(str(jax.devices()[0].device_kind).encode())
+    pkg = os.path.join(_REPO, "lshm_tpu")
+    files = [os.path.abspath(__file__)]
+    for root, _dirs, names in os.walk(pkg):
+        files.extend(os.path.join(root, n) for n in names if n.endswith(".py"))
+    for path in sorted(files):
+        h.update(path.encode())
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+_SOURCE_DIGEST = None  # computed lazily once per process
+
+
+class _FlatStep:
+    """A compiled train step over FLATTENED leaves: ``out = call(*s_leaves,
+    *d_leaves)`` where ``out[:-1]`` are the next state leaves (chainable) and
+    ``out[-1]`` is the step's final ADMM loss (the completion-forcing fetch
+    target).  Flattening sidesteps jax.export's pytree-serialization registry
+    (optax/flax node types are not registered) — the treedefs are host-side
+    trace-time structure, rebuilt from live objects on every run."""
+
+    def __init__(self, compiled, s_leaves, d_leaves, compile_sec, trace_cache,
+                 func_evals_idx=None):
+        self.compiled = compiled
+        self.s_leaves0 = list(s_leaves)
+        self.d_leaves = list(d_leaves)
+        self.compile_sec = compile_sec
+        self.trace_cache = trace_cache          # "warm" | "cold"
+        self.func_evals_idx = func_evals_idx
+        self.flops = _cost_flops(compiled)
+        self._s = list(s_leaves)
+
+    def run_chain(self, n: int) -> float:
+        """n chained steps ending in one completion-forcing host fetch of the loss."""
+        out = None
+        for _ in range(n):
+            out = self.compiled(*self._s, *self.d_leaves)
+            self._s = list(out[:-1])
+        return float(jax.device_get(out[-1]))
+
+    def func_evals(self) -> int | None:
+        if self.func_evals_idx is None:
+            return None
+        return int(jax.device_get(self._s[self.func_evals_idx]))
+
+
+def _compile_step_cached(tag: str, step_fn, state, data_args,
+                         key_extra: str = "", donate: bool = False) -> _FlatStep:
+    """AOT-compile ``step_fn(state, *data_args) -> (state, metrics)`` with a
+    two-level cache:
+
+      1. serialized jax.export blob (skips Python tracing + lowering, the ~30-40 s
+         host cost per program on this 1-core box), keyed by source digest +
+         argument avals + ``key_extra`` (dtype/nadmm/... — program choices that
+         do not show in the avals);
+      2. XLA's persistent compilation cache (skips the multi-minute relay
+         compile) — hit guaranteed on a level-1 hit since the deserialized bytes
+         reproduce the identical StableHLO module.
+
+    Disable with LSHM_BENCH_TRACE_CACHE=0 (falls back to cold export each run;
+    the compiled artifact and timing semantics are IDENTICAL either way — both
+    paths time the same exported flat-call module)."""
+    import hashlib
+
+    from jax import export as jax_export
+
+    global _SOURCE_DIGEST
+    if _SOURCE_DIGEST is None:
+        _SOURCE_DIGEST = _source_digest()
+
+    s_leaves, s_tree = jax.tree.flatten(state)
+    d_leaves, d_tree = jax.tree.flatten(tuple(data_args))
+    ns = len(s_leaves)
+
+    def step_flat(*leaves):
+        st = jax.tree.unflatten(s_tree, leaves[:ns])
+        da = jax.tree.unflatten(d_tree, leaves[ns:])
+        st2, m = step_fn(st, *da)
+        return tuple(jax.tree.leaves(st2)) + (m["loss"][-1],)
+
+    avals = ",".join(                     # python-scalar leaves have no .dtype
+        f"{jnp.result_type(l)}{tuple(jnp.shape(l))}"
+        for l in (*s_leaves, *d_leaves)
+    )
+    key = hashlib.sha256(
+        f"{_SOURCE_DIGEST}|{tag}|{key_extra}|{avals}".encode()
+    ).hexdigest()[:32]
+    path = os.path.join(_EXPORT_DIR, f"{tag}-{key}.jaxexport")
+
+    use_cache = os.environ.get("LSHM_BENCH_TRACE_CACHE", "1") != "0"
+    t0 = time.perf_counter()
+    exp = None
+    trace_cache = "cold"
+    if use_cache and os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                exp = jax_export.deserialize(bytearray(f.read()))
+            trace_cache = "warm"
+        except Exception:
+            exp = None                      # corrupt/incompatible blob: re-export
+    if exp is None:
+        exp = jax_export.export(jax.jit(step_flat))(*s_leaves, *d_leaves)
+        if use_cache:
+            try:
+                os.makedirs(_EXPORT_DIR, exist_ok=True)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(exp.serialize())
+                os.replace(tmp, path)
+            except Exception:
+                pass
+    compiled = jax.jit(
+        exp.call, donate_argnums=tuple(range(ns)) if donate else ()
+    ).lower(*s_leaves, *d_leaves).compile()
+    compile_sec = time.perf_counter() - t0
+
+    func_evals_idx = None
+    paths = jax.tree_util.tree_flatten_with_path(state)[0]
+    for i, (kp, _leaf) in enumerate(paths):
+        if "func_evals" in jax.tree_util.keystr(kp):
+            func_evals_idx = i
+            break
+    return _FlatStep(compiled, s_leaves, d_leaves, compile_sec, trace_cache,
+                     func_evals_idx)
+
+
 def _measure_rtt() -> float:
     """Fetch round trip on an already-resident tiny array (pure RTT, no compute)."""
     ready = jnp.zeros(())
@@ -210,6 +362,34 @@ def _measure_two_point(step, state, x, uv, w, nadmm: int):
     return detail, state
 
 
+def _measure_two_point_flat(fstep: _FlatStep, nadmm: int) -> dict:
+    """Two-point timing of a _FlatStep (same protocol/semantics as
+    _measure_two_point: every run(n) chains n steps and ends in one
+    completion-forcing host fetch of the step's final loss)."""
+    last_loss = [None]
+
+    def run(n):
+        t0 = time.perf_counter()
+        last_loss[0] = fstep.run_chain(n)
+        return time.perf_counter() - t0
+
+    rtt = _measure_rtt()
+    marginal, pairs, n2, fallback = _two_point_marginal(
+        run, N1, N2, REPS, min_window=max(5 * rtt, 0.02)
+    )
+    raw_best = min(d2 for _, d2 in pairs) / n2
+    return {
+        "sec_per_admm_iter": marginal / nadmm,
+        "sec_per_step_call": marginal,
+        "sec_per_step_call_raw": raw_best,
+        "fetch_rtt_sec": rtt,
+        "two_point": {"n1": N1, "n2": n2, "pairs_sec": pairs,
+                      "noise_fallback": fallback},
+        "final_loss": last_loss[0],
+        "timing_method": "two-point host-scalar-fetch (RTT-cancelled)",
+    }
+
+
 def measure_ours(compute_dtype: str | None = None, batch: int = BATCH_PATCHES,
                  nbase: int = NBASELINES) -> dict:
     """Headline measurement: the flagship ADMM step, honest execution time."""
@@ -222,16 +402,17 @@ def measure_ours(compute_dtype: str | None = None, batch: int = BATCH_PATCHES,
     step_fn = make_train_step(model, tx, cfg, num_groups=nbase, donate=False,
                               jit=False)
     w = LossWeights()
-    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-    t0 = time.perf_counter()
-    compiled = jitted.lower(state, x, uv, w).compile()
-    compile_sec = time.perf_counter() - t0
-    flops = _cost_flops(compiled)
+    fstep = _compile_step_cached(
+        "adam_step", step_fn, state, (x, uv, w),
+        key_extra=f"{dtype}|nadmm={NADMM}|packed={cfg.model.packed_conv2d}"
+                  f"|donate={donate}",
+        donate=donate,
+    )
+    flops = fstep.flops
 
-    state, m = compiled(state, x, uv, w)          # warmup execution
-    _fetch_scalar(m)
+    fstep.run_chain(1)                            # warmup execution (fetch-forced)
 
-    r, _ = _measure_two_point(compiled, state, x, uv, w, NADMM)
+    r = _measure_two_point_flat(fstep, NADMM)
     dt = r["sec_per_admm_iter"]
     out = {
         "patches_per_sec": batch / dt,
@@ -240,7 +421,8 @@ def measure_ours(compute_dtype: str | None = None, batch: int = BATCH_PATCHES,
         "compute_dtype": dtype,
         "packed_conv2d": cfg.model.packed_conv2d,
         "donate": donate,
-        "compile_sec": compile_sec,
+        "compile_sec": fstep.compile_sec,
+        "trace_cache": fstep.trace_cache,
         "flops_per_step_call": flops,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
@@ -321,12 +503,12 @@ def measure_ours_lbfgs() -> dict:
     step = make_lbfgs_train_step(model, cfg, num_groups=NBASELINES, donate=False,
                                  jit=False)
     w = LossWeights()
-    t0 = time.perf_counter()
-    compiled = jax.jit(step).lower(state, x, uv, w).compile()
-    compile_sec = time.perf_counter() - t0
-    state, m = compiled(state, x, uv, w)          # warmup execution
-    _fetch_scalar(m)
-    r, state = _measure_two_point(compiled, state, x, uv, w, nadmm)
+    fstep = _compile_step_cached(
+        "lbfgs_step", step, state, (x, uv, w),
+        key_extra=f"{dtype}|nadmm={nadmm}",
+    )
+    fstep.run_chain(1)                            # warmup execution (fetch-forced)
+    r = _measure_two_point_flat(fstep, nadmm)
     # func_evals from the state AFTER the timed chain, so the diagnostic reflects
     # the measured work (cumulative closure evaluations across all timed steps)
     return {
@@ -334,8 +516,9 @@ def measure_ours_lbfgs() -> dict:
         "lbfgs_sec_per_admm_iter": r["sec_per_admm_iter"],
         "lbfgs_nadmm": nadmm,
         "lbfgs_compute_dtype": dtype,
-        "lbfgs_compile_sec": compile_sec,
-        "lbfgs_func_evals": int(jax.device_get(state.opt_state.func_evals)),
+        "lbfgs_compile_sec": fstep.compile_sec,
+        "lbfgs_trace_cache": fstep.trace_cache,
+        "lbfgs_func_evals": fstep.func_evals(),
     }
 
 

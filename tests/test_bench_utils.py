@@ -210,3 +210,47 @@ def test_main_runs_all_secondaries_and_budget_skips(tmp_path, monkeypatch, capsy
     assert last["value"] == 1000.0
     for name in ("eval", "peak", "lbfgs", "f32"):
         assert d[f"{name}_skipped"] == "wall budget"
+
+
+def test_trace_cache_cold_warm_identical(tmp_path, monkeypatch):
+    """The serialized-export trace cache (bench._compile_step_cached) must produce
+    a warm-path step that is numerically IDENTICAL to the cold-path one — the warm
+    run deserializes the very StableHLO module the cold run exported, so any
+    divergence means the cache is timing a different program."""
+    import bench
+    from lshm_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from lshm_tpu.models import CascadedAE
+    from lshm_tpu.train import LossWeights, init_train_state, make_train_step
+
+    monkeypatch.setattr(bench, "_EXPORT_DIR", str(tmp_path / "exported"))
+    monkeypatch.delenv("LSHM_BENCH_TRACE_CACHE", raising=False)
+
+    cfg = Config(
+        data=DataConfig(batch_size=2, patch_size=128),
+        model=ModelConfig(latent_dim=16, latent_dim_1d=8, num_clusters=3, rica=True),
+        train=TrainConfig(admm_iters=1),
+    )
+    model = CascadedAE(cfg=cfg.model)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 128, 128, 4), jnp.float32)
+    uv = jnp.repeat(
+        jax.random.normal(jax.random.fold_in(key, 1), (2, 2)), 2, axis=0)
+
+    def build():
+        state, tx = init_train_state(model, cfg, key, x, uv)
+        step = make_train_step(model, tx, cfg, num_groups=2, donate=False,
+                               jit=False)
+        return state, step
+
+    state, step = build()
+    fs1 = bench._compile_step_cached("t_step", step, state, (x, uv, LossWeights()))
+    assert fs1.trace_cache == "cold"
+    losses_cold = [fs1.run_chain(1) for _ in range(2)]
+
+    state, step = build()
+    fs2 = bench._compile_step_cached("t_step", step, state, (x, uv, LossWeights()))
+    assert fs2.trace_cache == "warm"
+    losses_warm = [fs2.run_chain(1) for _ in range(2)]
+
+    assert losses_cold == losses_warm
+    assert fs2.flops == fs1.flops
