@@ -39,8 +39,14 @@ Timing discipline (round-3 rebuild; see VERDICT.md round 2):
     to disable) additionally skips Python tracing + lowering (~30-40 s per program on
     this 1-core host) on repeat runs: the step is exported once (jax.export) keyed by a
     source-tree digest + argument avals, and later runs deserialize the identical
-    StableHLO module — which then also hits the XLA persistent cache.  Warm repeat
-    runs therefore fit ALL secondaries inside the default 480 s driver budget.
+    StableHLO module — which then also hits the XLA persistent cache.  A warm repeat
+    run on a healthy relay fits ALL secondaries inside the default 480 s driver
+    budget (measured 2026-08-20: lbfgs warm compile 8.6 s vs 148 s cold).  During a
+    relay-degradation window (even trivial jits blocked for minutes; see
+    benchmarks/PERF_NOTES.md round-5 addendum) no budget suffices — the watchdogs
+    then bound each phase and the error path surfaces ``last_good_run`` from
+    ``benchmarks/last_bench.json`` so the driver still records the most recent
+    complete honest measurement.
 """
 
 from __future__ import annotations
